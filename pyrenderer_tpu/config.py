@@ -1,0 +1,56 @@
+"""Typed render configuration, honoring Tungsten's integrator/renderer blocks.
+
+The reference parses scene.json's ``integrator`` and ``renderer`` sections
+but ignores every field (SURVEY §5.6; scene.json:270-292); bounce depth and
+spp are hardcoded at its entry points (main_taichi.py:29,:37). Here they are
+one frozen dataclass with CLI overrides.
+
+``estimator`` selects the radiance estimator:
+  - "reference": reproduces core/tracing.py:117 semantics exactly — the
+    hardcoded light color (tracing.py:120), NEE without area pdf or 1/pi
+    (tracing.py:92-108), no russian roulette, no MIS.
+  - "pbrt": physically-based — scene emission, NEE with area-measure pdf and
+    power-heuristic MIS (the algorithm of taichi_ref.py:368 and the unused
+    tracing.py:56 sample_direct_lighting2), russian roulette, full material
+    set (lambert/metal/dielectric).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    max_bounces: int = 16          # reference main_taichi.py:37
+    spp: int = 64                  # reference main_taichi.py:29 / scene.json spp
+    spp_step: int = 1              # samples per progressive pass
+    estimator: str = "reference"   # "reference" | "pbrt"
+    seed: int = 0
+    russian_roulette_start: int = 4   # pbrt mode only; bounce at which RR kicks in
+    tonemap: str = "sqrt"          # "sqrt" (main_taichi.py:61) | "reinhard" (:67) | "none"
+    shadow_eps: float = 1e-3       # relative margin excluding the sampled light face
+    t_min: float = 1e-5            # reference tracing.py:125 hit epsilon
+    t_max: float = 99999.9         # reference tracing.py:125
+    output_file: str = "out.png"
+    hdr_output_file: Optional[str] = None
+    checkpoint_interval: int = 0   # passes between checkpoint dumps; 0 = off
+    resolution: Optional[Tuple[int, int]] = None  # override camera resolution
+
+    @classmethod
+    def from_tungsten(cls, data: dict) -> "RenderConfig":
+        integ = data.get("integrator", {})
+        rend = data.get("renderer", {})
+        return cls(
+            max_bounces=int(integ.get("max_bounces", 16)),
+            spp=int(rend.get("spp", 64)),
+            spp_step=int(rend.get("spp_step", 1)),
+            tonemap={"filmic": "reinhard"}.get(data.get("camera", {}).get("tonemap"), "sqrt"),
+            output_file=rend.get("output_file", "out.png"),
+            hdr_output_file=rend.get("hdr_output_file"),
+            checkpoint_interval=int(rend.get("checkpoint_interval", 0) or 0),
+        )
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

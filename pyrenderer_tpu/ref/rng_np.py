@@ -1,0 +1,52 @@
+"""NumPy twin of rng.py — the independent CPU-oracle implementation.
+
+Must stay bit-identical to pyrenderer_tpu/rng.py (tested in
+tests/test_rng.py). Written against NumPy only so the scalar reference
+integrator (ref/scalar.py) shares zero code with the JAX path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
+_PARITY = np.uint32(0x1BD11BDA)
+
+
+def threefry2x32(k0, k1, c0, c1):
+    """Threefry-2x32, 20 rounds, NumPy uint32 semantics."""
+    with np.errstate(over="ignore"):
+        k0 = np.uint32(k0)
+        k1 = np.uint32(k1)
+        x0 = np.asarray(c0, np.uint32)
+        x1 = np.asarray(c1, np.uint32)
+        ks = (k0, k1, k0 ^ k1 ^ _PARITY)
+        x0 = x0 + ks[0]
+        x1 = x1 + ks[1]
+        for i in range(5):
+            for r in _ROTATIONS[i % 2]:
+                x0 = (x0 + x1).astype(np.uint32)
+                x1 = (((x1 << np.uint32(r)) | (x1 >> np.uint32(32 - r))) ^ x0).astype(np.uint32)
+            x0 = (x0 + ks[(i + 1) % 3]).astype(np.uint32)
+            x1 = (x1 + ks[(i + 2) % 3] + np.uint32(i + 1)).astype(np.uint32)
+    return x0, x1
+
+
+def uniform_bits(seed, pixel, sample, bounce, use):
+    with np.errstate(over="ignore"):
+        pixel = np.asarray(pixel, np.uint32)
+        sample = np.asarray(sample, np.uint32)
+        bounce = np.asarray(bounce, np.uint32)
+        use = np.asarray(use, np.uint32)
+        c0 = pixel
+        c1 = (sample << np.uint32(12)) | (bounce << np.uint32(4)) | use
+        k0 = np.uint32(seed & 0xFFFFFFFF)
+        k1 = np.uint32(0x70617468)
+        x0, _ = threefry2x32(k0, k1, c0, c1)
+    return x0
+
+
+def uniform(seed, pixel, sample, bounce, use, dtype=np.float64):
+    bits = uniform_bits(seed, pixel, sample, bounce, use)
+    # float32 first — identical quantization to the JAX path — then cast.
+    return np.asarray((bits >> np.uint32(8)).astype(np.float32) * np.float32(1.0 / (1 << 24)), dtype)

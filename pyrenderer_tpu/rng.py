@@ -1,0 +1,83 @@
+"""Counter-based RNG: Threefry-2x32, keyed by (pixel, sample, bounce, use).
+
+The reference renderer has no seedable RNG at all (taichi_glsl.randgen.rand on
+GPU, ad-hoc np.random on CPU — see reference mathematics/samplers.py:4,
+test.py:9), which makes matched-seed parity impossible there. Here every
+uniform draw is a pure function of ``(seed, pixel_id, sample_id, bounce,
+use)``, so the scalar NumPy oracle (ref/rng_np.py) and the vectorized JAX
+path produce bit-identical streams by construction.
+
+Counter layout (c0, c1 are the Threefry counter words):
+    c0 = pixel_id                       (uint32: up to 4G pixels)
+    c1 = (sample_id << 12) | (bounce << 4) | use
+         sample_id: 20 bits (1M spp), bounce: 8 bits (256), use: 4 bits (16)
+
+Key = (seed, 0x70617468)  ("path" tag, distinguishes streams per application).
+
+Uniforms are produced as ``(bits >> 8) * 2**-24`` → float32 in [0, 1).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+# Use-slot assignments within one bounce (or the camera slot).
+# Camera draws live at bounce = CAMERA_BOUNCE.
+U_PIXEL_X = 0
+U_PIXEL_Y = 1
+U_LENS_X = 2
+U_LENS_Y = 3
+U_BSDF_0 = 4
+U_BSDF_1 = 5
+U_BSDF_2 = 6
+U_LIGHT_PRIM = 7
+U_LIGHT_FACE = 8
+U_LIGHT_U = 9
+U_LIGHT_V = 10
+U_RR = 11
+U_LIGHT_STRAT = 12
+
+CAMERA_BOUNCE = 255
+
+_ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
+_PARITY = 0x1BD11BDA
+_U32 = (1 << 32) - 1
+
+
+def threefry2x32(k0, k1, c0, c1):
+    """Threefry-2x32 with 20 rounds. All inputs/outputs uint32 arrays."""
+    k0 = jnp.asarray(k0, jnp.uint32)
+    k1 = jnp.asarray(k1, jnp.uint32)
+    x0 = jnp.asarray(c0, jnp.uint32)
+    x1 = jnp.asarray(c1, jnp.uint32)
+    ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(_PARITY))
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for i in range(5):
+        for r in _ROTATIONS[i % 2]:
+            x0 = x0 + x1
+            x1 = ((x1 << r) | (x1 >> (32 - r))) ^ x0
+        x0 = x0 + ks[(i + 1) % 3]
+        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x0, x1
+
+
+def uniform_bits(seed: int, pixel, sample, bounce, use):
+    """Random uint32 for each broadcast element of (pixel, sample, bounce, use)."""
+    pixel = jnp.asarray(pixel, jnp.uint32)
+    sample = jnp.asarray(sample, jnp.uint32)
+    bounce = jnp.asarray(bounce, jnp.uint32)
+    use = jnp.asarray(use, jnp.uint32)
+    c0 = pixel
+    c1 = (sample << 12) | (bounce << 4) | use
+    k0 = jnp.uint32(seed & _U32)
+    k1 = jnp.uint32(0x70617468)
+    x0, _ = threefry2x32(k0, k1, c0, c1)
+    return x0
+
+
+def uniform(seed: int, pixel, sample, bounce, use, dtype=jnp.float32):
+    """Uniform in [0, 1) — float from the top 24 bits, identical to the oracle."""
+    bits = uniform_bits(seed, pixel, sample, bounce, use)
+    return ((bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))).astype(dtype)

@@ -1,0 +1,57 @@
+"""Camera ray-generation tests (reference core/camera.py:41-72 semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyrenderer_tpu.core.camera import generate_rays
+from pyrenderer_tpu.ref import scalar as ref
+from pyrenderer_tpu.scene.tungsten import load_tungsten
+
+
+@pytest.fixture(scope="module")
+def camera(cornell_path):
+    _, cam, _ = load_tungsten(cornell_path, dtype=np.float32)
+    return cam
+
+
+def test_center_ray(camera):
+    w, h = camera.resolution
+    px = jnp.array([w // 2], jnp.int32)
+    py = jnp.array([h // 2], jnp.int32)
+    ro, rd = generate_rays(camera, px, py, jnp.uint32(0), seed=0)
+    ro, rd = np.asarray(ro), np.asarray(rd)
+    assert np.allclose(ro[0], [0, 1, 6.8], atol=1e-6)
+    # jittered ray near the center: dominant -z, small x/y
+    assert rd[0, 2] < -0.99
+    assert abs(rd[0, 0]) < 0.01 and abs(rd[0, 1]) < 0.01
+    assert np.allclose(np.linalg.norm(rd[0]), 1.0, atol=1e-6)
+
+
+def test_fov_extent(camera):
+    """Corner rays span tan(fov/2) vertically (fov=19.5 deg)."""
+    w, h = camera.resolution
+    px = jnp.array([w // 2, w // 2], jnp.int32)
+    py = jnp.array([0, h - 1], jnp.int32)
+    _, rd = generate_rays(camera, px, py, jnp.uint32(0), seed=0)
+    rd = np.asarray(rd)
+    half = np.tan(np.radians(19.5) / 2)
+    slope_bottom = rd[0, 1] / -rd[0, 2]
+    slope_top = rd[1, 1] / -rd[1, 2]
+    assert -half <= slope_bottom < -half * 0.99
+    assert half * 0.99 < slope_top <= half
+    assert slope_bottom < 0 < slope_top
+
+
+def test_matches_scalar_oracle(camera):
+    """JAX ray gen must match the NumPy oracle bit-for-bit in draws, tightly in floats."""
+    w, h = camera.resolution
+    xs = np.array([0, 3, 511, 1023], np.int32)
+    ys = np.array([0, 7, 600, 1023], np.int32)
+    ro_j, rd_j = generate_rays(
+        camera, jnp.asarray(xs), jnp.asarray(ys), jnp.uint32(5), seed=9
+    )
+    for i in range(len(xs)):
+        ro_n, rd_n = ref.generate_ray(camera, int(xs[i]), int(ys[i]), 5, 9, np.float32)
+        np.testing.assert_allclose(np.asarray(ro_j)[i], ro_n, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rd_j)[i], rd_n, atol=1e-6)
