@@ -1,0 +1,111 @@
+"""Headline benchmark: Mrays/s/chip on the Cornell box at 4 bounces.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 100 — BASELINE.md's >=100 Mrays/s/chip target (the
+reference publishes no numbers of its own; SURVEY §6).
+
+Rays counted = live closest-hit rays + NEE shadow rays (dead masked lanes
+excluded), as accumulated inside the integrator's bounce scan.
+
+Env knobs: BENCH_SPP (default 8 timed full-frame passes),
+BENCH_RES (default 1024), BENCH_CHUNK (rays per dispatch, default 2^18).
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pyrenderer_tpu.config import RenderConfig
+    from pyrenderer_tpu.core import intersect as isect
+    from pyrenderer_tpu.core.camera import generate_rays
+    from pyrenderer_tpu.core.integrator import trace_reference
+    from pyrenderer_tpu.scene import load_tungsten
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    scene, camera, _ = load_tungsten(os.path.join(root, "scenes", "cornell_box.json"))
+    scene = jax.tree.map(jnp.asarray, scene)
+
+    res = int(os.environ.get("BENCH_RES", "1024"))
+    spp = int(os.environ.get("BENCH_SPP", "8"))
+    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 18)))
+    camera = camera._replace(resolution=(res, res))
+    cfg = RenderConfig(max_bounces=4, spp=spp, seed=0)
+    w, h = camera.resolution
+
+    ys, xs = np.mgrid[0:h, 0:w]
+    xs = jnp.asarray(xs.reshape(-1), jnp.int32)
+    ys = jnp.asarray(ys.reshape(-1), jnp.int32)
+
+    @jax.jit
+    def pass_fn(scene, px, py, sample_id):
+        pixel_id = (py * w + px).astype(jnp.uint32)
+        sample = jnp.full_like(pixel_id, sample_id)
+        ro, rd = generate_rays(camera, px, py, sample, cfg.seed)
+        tri_matrix = isect.build_tri_matrix(scene)
+        rad, n_rays = trace_reference(
+            scene, cfg, ro, rd, pixel_id, sample, cfg.seed,
+            tri_matrix=tri_matrix, with_stats=True,
+        )
+        return rad.sum(axis=0), n_rays
+
+    n_chunks = (w * h + chunk - 1) // chunk
+    print(
+        f"bench: {w}x{h}, {spp} passes, chunk={chunk} ({n_chunks} dispatches/pass), "
+        f"device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+    def run_pass(sample_id):
+        total = jnp.zeros(3)
+        rays = 0.0
+        for c in range(n_chunks):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            r, nr = pass_fn(scene, xs[sl], ys[sl], jnp.uint32(sample_id))
+            total = total + r
+            rays += float(nr)
+        return total, rays
+
+    # warmup / compile
+    t0 = time.time()
+    _, _ = run_pass(0)
+    print(f"warmup {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    total_rays = 0.0
+    mean_rad = None
+    for s in range(spp):
+        rad, rays = run_pass(s)
+        total_rays += rays
+        mean_rad = rad if mean_rad is None else mean_rad + rad
+    jax.block_until_ready(mean_rad)
+    dt = time.time() - t0
+
+    mrays = total_rays / dt / 1e6
+    mean_val = float(mean_rad.sum()) / (w * h * spp * 3)
+    print(
+        f"{dt:.2f}s, {total_rays/1e6:.1f} Mrays, mean radiance {mean_val:.5f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "cornell_box_4bounce_mrays_per_sec_per_chip",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -103,10 +103,14 @@ def trace_reference(
     seed: int,
     tri_matrix=None,
     use_matmul: bool = True,
+    with_stats: bool = False,
 ):
     """Radiance for a wavefront of rays, 'reference' estimator semantics.
 
-    ro, rd: (N, 3); pixel_id, sample_id: (N,) uint32. Returns (N, 3).
+    ro, rd: (N, 3); pixel_id, sample_id: (N,) uint32. Returns (N, 3), or
+    (radiance, rays_traced) when with_stats — rays_traced counts closest-hit
+    rays for live lanes plus NEE shadow rays (the honest Mrays/s numerator;
+    masked-dead lanes are excluded even though the SIMD work still happens).
     """
     dtype = ro.dtype
     n = ro.shape[0]
@@ -126,7 +130,8 @@ def trace_reference(
     light_color = jnp.asarray(REF_LIGHT_COLOR, dtype)
 
     def bounce_step(state, bounce):
-        ro, rd, beta, radiance, alive = state
+        ro, rd, beta, radiance, alive, n_rays = state
+        n_rays = n_rays + jnp.sum(alive, dtype=jnp.float32)
 
         hit, _, tri = closest(ro, rd, cfg.t_max)
         tri = sg(tri)
@@ -194,6 +199,7 @@ def trace_reference(
         dist = jnp.sqrt(dist_sq)
         w = to_light / dist[:, None]
         occ = any_hit(sg(p), sg(w), sg(dist) * (1.0 - cfg.shadow_eps))
+        n_rays = n_rays + jnp.sum(alive, dtype=jnp.float32)
         dot1 = _dot(nrm, w)
         dot2 = _dot(n2, -w)
         # reference evaluate(): emitter albedo as a vec3 (core/bsdf.py:54)
@@ -204,18 +210,24 @@ def trace_reference(
 
         ro = jnp.where(alive[:, None], p, ro)
         rd = jnp.where(alive[:, None], wi, rd)
-        return (ro, rd, beta, radiance, alive), None
+        return (ro, rd, beta, radiance, alive, n_rays), None
 
+    # Carries are derived from `ro` (not fresh constants) so that under
+    # shard_map they inherit the mesh-varying type the scan body produces.
+    zeros = ro * 0
     init = (
         ro,
         rd,
-        jnp.ones((n, 3), dtype),
-        jnp.zeros((n, 3), dtype),
-        jnp.ones((n,), bool),
+        zeros + 1.0,                            # beta
+        zeros,                                  # radiance
+        zeros[:, 0] == 0,                       # alive (all True)
+        jnp.sum(zeros[:, 0]).astype(jnp.float32),  # n_rays
     )
-    (ro, rd, beta, radiance, alive), _ = jax.lax.scan(
+    (ro, rd, beta, radiance, alive, n_rays), _ = jax.lax.scan(
         bounce_step, init, jnp.arange(cfg.max_bounces, dtype=jnp.uint32)
     )
+    if with_stats:
+        return radiance, n_rays
     return radiance
 
 
