@@ -25,9 +25,8 @@ def main():
     import jax.numpy as jnp
 
     from pyrenderer_tpu.config import RenderConfig
-    from pyrenderer_tpu.core import intersect as isect
     from pyrenderer_tpu.core.camera import generate_rays
-    from pyrenderer_tpu.core.integrator import trace_reference
+    from pyrenderer_tpu.core.integrator import TraceTables, trace_reference
     from pyrenderer_tpu.scene import load_tungsten
 
     root = os.path.dirname(os.path.abspath(__file__))
@@ -45,15 +44,17 @@ def main():
     xs = jnp.asarray(xs.reshape(-1), jnp.int32)
     ys = jnp.asarray(ys.reshape(-1), jnp.int32)
 
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+
     @jax.jit
     def pass_fn(scene, px, py, sample_id):
         pixel_id = (py * w + px).astype(jnp.uint32)
         sample = jnp.full_like(pixel_id, sample_id)
         ro, rd = generate_rays(camera, px, py, sample, cfg.seed)
-        tri_matrix = isect.build_tri_matrix(scene)
+        tables = TraceTables(scene, cfg, backend)
         rad, n_rays = trace_reference(
             scene, cfg, ro, rd, pixel_id, sample, cfg.seed,
-            tri_matrix=tri_matrix, with_stats=True,
+            tables=tables, with_stats=True,
         )
         return rad.sum(axis=0), n_rays
 
@@ -65,29 +66,30 @@ def main():
     )
 
     def run_pass(sample_id):
-        total = jnp.zeros(3)
-        rays = 0.0
+        # accumulate on device; no host sync inside the timed loop
+        parts = []
         for c in range(n_chunks):
             sl = slice(c * chunk, (c + 1) * chunk)
-            r, nr = pass_fn(scene, xs[sl], ys[sl], jnp.uint32(sample_id))
-            total = total + r
-            rays += float(nr)
+            parts.append(pass_fn(scene, xs[sl], ys[sl], jnp.uint32(sample_id)))
+        total = sum(p[0] for p in parts)
+        rays = sum(p[1] for p in parts)
         return total, rays
 
     # warmup / compile
     t0 = time.time()
-    _, _ = run_pass(0)
+    jax.block_until_ready(run_pass(0))
     print(f"warmup {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    total_rays = 0.0
-    mean_rad = None
+    total_rays = jnp.zeros(())
+    mean_rad = jnp.zeros(3)
     for s in range(spp):
         rad, rays = run_pass(s)
-        total_rays += rays
-        mean_rad = rad if mean_rad is None else mean_rad + rad
-    jax.block_until_ready(mean_rad)
+        total_rays = total_rays + rays
+        mean_rad = mean_rad + rad
+    jax.block_until_ready((total_rays, mean_rad))
     dt = time.time() - t0
+    total_rays = float(total_rays)
 
     mrays = total_rays / dt / 1e6
     mean_val = float(mean_rad.sum()) / (w * h * spp * 3)

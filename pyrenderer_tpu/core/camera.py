@@ -27,8 +27,7 @@ def generate_rays(camera: Camera, pixel_x, pixel_y, sample_id, seed: int):
     dtype = camera.iview.dtype
     pixel_id = (pixel_y * w + pixel_x).astype(jnp.uint32)
 
-    jx = rng.uniform(seed, pixel_id, sample_id, rng.CAMERA_BOUNCE, rng.U_PIXEL_X, dtype)
-    jy = rng.uniform(seed, pixel_id, sample_id, rng.CAMERA_BOUNCE, rng.U_PIXEL_Y, dtype)
+    jx, jy = rng.uniform2(seed, pixel_id, sample_id, rng.CAMERA_BOUNCE, rng.U_PIXEL_X, dtype)
     u = (pixel_x.astype(dtype) + jx) / w
     v = (pixel_y.astype(dtype) + jy) / h
 
@@ -47,8 +46,7 @@ def generate_rays(camera: Camera, pixel_x, pixel_y, sample_id, seed: int):
         axis=-1,
     )
 
-    lx = rng.uniform(seed, pixel_id, sample_id, rng.CAMERA_BOUNCE, rng.U_LENS_X, dtype)
-    ly = rng.uniform(seed, pixel_id, sample_id, rng.CAMERA_BOUNCE, rng.U_LENS_Y, dtype)
+    lx, ly = rng.uniform2(seed, pixel_id, sample_id, rng.CAMERA_BOUNCE, rng.U_LENS_X, dtype)
     ap = camera.aperture
     o_cam = jnp.stack(
         [

@@ -7,6 +7,15 @@ them (core/ray_taichi.py:10-75) — here they are the design: every bounce is
 one batched intersection + shading step over the whole wavefront, with
 terminated lanes masked instead of diverging.
 
+TPU-first details:
+- intersection backends: "pallas" (fused VMEM kernel, default on TPU),
+  "matmul" (MXU bilinear-form formulation), "brute" (broadcast VPU,
+  default on CPU / the correctness oracle);
+- per-hit shading data comes from ONE (N, 16) gather of a packed per-face
+  table (v0|e1|e2|albedo|sign|emissive|sided) — scattered small gathers are
+  ~5x slower on TPU;
+- paired RNG draws: one threefry evaluation yields two uniforms.
+
 Estimator modes (cfg.estimator):
   "reference" — reproduces core/tracing.py semantics: emissive hits add the
   hardcoded light color (tracing.py:120,129-139: beta at bounce 0, beta*cos
@@ -14,17 +23,16 @@ Estimator modes (cfg.estimator):
   guard collapsing to zero (tracing.py:145-149), and NEE without area pdf or
   1/pi: emissive*cos1*cos2/dist^2 (tracing.py:92-108).
 
-  "pbrt" — physically based: scene emission, cosine-weighted lambert with
-  correct throughput, NEE with area-measure pdf + power-heuristic MIS
-  (the algorithm of taichi_ref.py:368-397 and the unused
-  tracing.py:56 sample_direct_lighting2), russian roulette, and the
+  "pbrt" — physically based: scene emission, NEE with area-measure pdf +
+  power-heuristic MIS (the algorithm of taichi_ref.py:368-397 and the
+  unused tracing.py:56 sample_direct_lighting2), russian roulette, and the
   metal/dielectric materials of core/bsdf_taichi.py / taichi_ref.py:408-434.
 
 Differentiability: discrete decisions (hit selection, visibility, sampled
-directions, RR acceptance) are detached; shading quantities (normals, hit
-distances, albedo, emission, geometric terms) stay attached, giving the
-standard detached-sampling gradient estimator for d(image)/d(vertices,
-albedo, emission).
+directions) are detached; shading quantities (normals, hit distances,
+albedo, emission, geometric terms) stay attached — the standard
+detached-sampling gradient estimator for d(image)/d(vertices, albedo,
+emission).
 """
 
 from __future__ import annotations
@@ -37,9 +45,11 @@ import jax.numpy as jnp
 from pyrenderer_tpu import rng
 from pyrenderer_tpu.config import RenderConfig
 from pyrenderer_tpu.core import intersect as isect
+from pyrenderer_tpu.core import lut
 from pyrenderer_tpu.core import sampling
 from pyrenderer_tpu.core.camera import generate_rays
 from pyrenderer_tpu.core.sampling import INV_PI
+from pyrenderer_tpu.kernels import pallas_intersect as pk
 from pyrenderer_tpu.scene.types import Camera, Scene
 
 sg = jax.lax.stop_gradient
@@ -58,39 +68,114 @@ def _safe_normalize(v):
     return v / jnp.where(n == 0, 1.0, n)
 
 
-def _face_normal(scene: Scene, tri, e1, e2):
-    """Geometric normal = sign * normalize(cross(e1, e2)) (reference
-    shapes.py:43-47: quads negated, cubes positive)."""
-    n = _safe_normalize(jnp.cross(e1, e2))
-    return scene.normal_sign[tri][:, None] * n
+def default_backend() -> str:
+    return "pallas" if jax.default_backend() == "tpu" else "brute"
 
 
-def _sample_light_point(scene: Scene, pixel_id, sample_id, bounce, seed, dtype):
+def pack_face_data(scene: Scene):
+    """(T, 16) float per-face shading table: v0|e1|e2|albedo|sign|emissive|sided.
+
+    Built once per trace from scene arrays (differentiable w.r.t. vertices
+    and albedo); the per-ray fetch is then a single row gather.
+    """
+    v = scene.vertices
+    f = scene.faces
+    v0 = v[f[:, 0]]
+    e1 = v[f[:, 1]] - v0
+    e2 = v[f[:, 2]] - v0
+    mat = scene.face_material
+    alb = scene.albedo[mat]
+    dtype = v.dtype
+    cols = [
+        v0, e1, e2, alb,
+        scene.normal_sign[:, None].astype(dtype),
+        (scene.emissive[mat] > 0)[:, None].astype(dtype),
+        (scene.sided[mat] > 0)[:, None].astype(dtype),
+        jnp.zeros((f.shape[0], 1), dtype),
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
+def pack_light_data(scene: Scene, use_emission: bool):
+    """(L * F_max, 16) per-light-face table: v0|v1|v2|em|sign|pad.
+
+    em = emitter albedo as vec3 in "reference" mode (reference
+    core/bsdf.py:54 evaluate) or scene emission radiance in "pbrt" mode.
+    """
+    v = scene.vertices
+    lf = scene.light_faces.reshape(-1)
+    f = scene.faces[lf]
+    mat = scene.face_material[lf]
+    em = scene.emission[mat] if use_emission else scene.albedo[mat]
+    dtype = v.dtype
+    cols = [
+        v[f[:, 0]], v[f[:, 1]], v[f[:, 2]], em,
+        scene.normal_sign[lf][:, None].astype(dtype),
+        jnp.zeros((lf.shape[0], 3), dtype),
+    ]
+    return jnp.concatenate(cols, axis=1)
+
+
+class TraceTables(object):
+    """Per-scene device tables shared across samples/passes of one jit."""
+
+    def __init__(self, scene: Scene, cfg: RenderConfig, backend: str):
+        if backend == "auto":
+            backend = default_backend()
+        self.backend = backend
+        self.face_data = pack_face_data(scene)
+        self.light_data = pack_light_data(scene, use_emission=cfg.estimator != "reference")
+        if backend == "pallas":
+            self.tri_table = pk.pack_triangles(sg(scene.vertices), scene.faces)
+        elif backend == "matmul":
+            self.tri_table = isect.build_tri_matrix(scene)
+        else:
+            self.tri_table = None
+
+
+def _closest(scene, tables, cfg, ro, rd, t1):
+    b = tables.backend
+    if b == "pallas":
+        return pk.closest_hit(tables.tri_table, ro, rd, cfg.t_min, t1)
+    if b == "matmul":
+        return isect.intersect_matmul(scene, ro, rd, cfg.t_min, t1, tables.tri_table)
+    return isect.intersect_brute(scene, ro, rd, cfg.t_min, t1)
+
+
+def _any_hit(scene, tables, cfg, ro, rd, t1):
+    b = tables.backend
+    if b == "pallas":
+        return pk.occluded(tables.tri_table, ro, rd, cfg.t_min, t1)
+    if b == "matmul":
+        return isect.occluded_matmul(scene, ro, rd, cfg.t_min, t1, tables.tri_table)
+    return isect.occluded(scene, ro, rd, cfg.t_min, t1)
+
+
+def _sample_light_point(scene, tables, pixel_id, sample_id, bounce, seed, dtype):
     """Uniform light prim -> uniform face -> sqrt-barycentric point.
 
-    Reference: intersection_taichi.py:194 sample_a_light (uniform prim pick)
-    -> shapes.py:63 sample_a_point (randInt face, sqrt-barycentric).
-    Returns (p2, n2, light_mat) — all (N, ...) arrays.
+    Reference: intersection_taichi.py:194 sample_a_light (uniform prim pick,
+    consuming a draw only when >1 light) -> shapes.py:63 sample_a_point
+    (randInt face, sqrt-barycentric). One packed-row gather per ray.
+    Returns (p2, n2, em).
     """
-    n_lights = scene.n_lights
+    n_lights, f_max = scene.light_faces.shape
     if n_lights > 1:
         up = rng.uniform(seed, pixel_id, sample_id, bounce, rng.U_LIGHT_PRIM, dtype)
         li = jnp.clip((up * n_lights).astype(jnp.int32), 0, n_lights - 1)
     else:
-        li = jnp.zeros_like(pixel_id, jnp.int32)
-    nf = scene.light_nfaces[li]
+        li = jnp.zeros(pixel_id.shape, jnp.int32)
+    nf = scene.light_nfaces[li].astype(dtype)
     uf = rng.uniform(seed, pixel_id, sample_id, bounce, rng.U_LIGHT_FACE, dtype)
-    fi = jnp.clip((uf * nf.astype(dtype)).astype(jnp.int32), 0, nf - 1)
-    lf = scene.light_faces[li, fi]
-    f = scene.faces[lf]
-    v0 = scene.vertices[f[:, 0]]
-    v1 = scene.vertices[f[:, 1]]
-    v2 = scene.vertices[f[:, 2]]
-    u = rng.uniform(seed, pixel_id, sample_id, bounce, rng.U_LIGHT_U, dtype)
-    v = rng.uniform(seed, pixel_id, sample_id, bounce, rng.U_LIGHT_V, dtype)
+    fi = jnp.clip((uf * nf).astype(jnp.int32), 0, scene.light_nfaces[li] - 1)
+    row = lut.fetch_rows(tables.light_data, li * f_max + fi)  # (N, 16)
+    v0, v1, v2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+    em = row[:, 9:12]
+    sign = row[:, 12]
+    u, v = rng.uniform2(seed, pixel_id, sample_id, bounce, rng.U_LIGHT_U, dtype)
     p2 = sampling.sample_triangle_point(v0, v1, v2, u, v)
-    n2 = _face_normal(scene, lf, v1 - v0, v2 - v0)
-    return p2, n2, scene.face_material[lf]
+    n2 = sign[:, None] * _safe_normalize(jnp.cross(v1 - v0, v2 - v0))
+    return p2, n2, em
 
 
 def trace_reference(
@@ -101,8 +186,8 @@ def trace_reference(
     pixel_id,
     sample_id,
     seed: int,
-    tri_matrix=None,
-    use_matmul: bool = True,
+    tables: TraceTables | None = None,
+    backend: str = "auto",
     with_stats: bool = False,
 ):
     """Radiance for a wavefront of rays, 'reference' estimator semantics.
@@ -113,19 +198,8 @@ def trace_reference(
     masked-dead lanes are excluded even though the SIMD work still happens).
     """
     dtype = ro.dtype
-    n = ro.shape[0]
-    if use_matmul and tri_matrix is None:
-        tri_matrix = isect.build_tri_matrix(scene)
-
-    def closest(o, d, t1):
-        if use_matmul:
-            return isect.intersect_matmul(scene, o, d, cfg.t_min, t1, tri_matrix)
-        return isect.intersect_brute(scene, o, d, cfg.t_min, t1)
-
-    def any_hit(o, d, t1):
-        if use_matmul:
-            return isect.occluded_matmul(scene, o, d, cfg.t_min, t1, tri_matrix)
-        return isect.occluded(scene, o, d, cfg.t_min, t1)
+    if tables is None:
+        tables = TraceTables(scene, cfg, backend)
 
     light_color = jnp.asarray(REF_LIGHT_COLOR, dtype)
 
@@ -133,17 +207,20 @@ def trace_reference(
         ro, rd, beta, radiance, alive, n_rays = state
         n_rays = n_rays + jnp.sum(alive, dtype=jnp.float32)
 
-        hit, _, tri = closest(ro, rd, cfg.t_max)
-        tri = sg(tri)
+        hit, _, tri = _closest(scene, tables, cfg, ro, rd, cfg.t_max)
+        tri = sg(jnp.maximum(tri, 0))
         hit = sg(hit)
 
-        # Differentiable re-evaluation of the selected triangle's geometry.
-        f = scene.faces[tri]
-        v0 = scene.vertices[f[:, 0]]
-        v1 = scene.vertices[f[:, 1]]
-        v2 = scene.vertices[f[:, 2]]
-        e1 = v1 - v0
-        e2 = v2 - v0
+        # One packed-row fetch (one-hot matmul — see core/lut.py); then
+        # differentiable re-evaluation of the selected triangle's geometry
+        # (the selection itself is detached).
+        row = lut.fetch_rows(tables.face_data, tri)
+        v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        albedo = row[:, 9:12]
+        sign = row[:, 12]
+        emissive = row[:, 13] > 0.5
+        sided = row[:, 14] > 0.5
+
         c_e1_d = jnp.cross(e1, rd)
         det = _dot(c_e1_d, e2)
         safe_det = jnp.where(det == 0, 1.0, det)
@@ -152,10 +229,7 @@ def trace_reference(
         t = -_dot(c_s_e2, e1) / safe_det
         p = ro + t[:, None] * rd
 
-        n_geo = _face_normal(scene, tri, e1, e2)
-        mat = scene.face_material[tri]
-        emissive = scene.emissive[mat] > 0
-        sided = scene.sided[mat] > 0
+        n_geo = sign[:, None] * _safe_normalize(jnp.cross(e1, e2))
         flip = (~sided) & (_dot(n_geo, -rd) < 0)
         nrm = jnp.where(flip[:, None], -n_geo, n_geo)
 
@@ -171,14 +245,12 @@ def trace_reference(
 
         # Lambert cosine sample in the shading frame (reference bsdf.py:30
         # scatter + shapes.py:105-109 frame rotation; pdf = |n·wi|/pi).
-        u1 = rng.uniform(seed, pixel_id, sample_id, bounce, rng.U_BSDF_0, dtype)
-        u2 = rng.uniform(seed, pixel_id, sample_id, bounce, rng.U_BSDF_1, dtype)
+        u1, u2 = rng.uniform2(seed, pixel_id, sample_id, bounce, rng.U_BSDF_0, dtype)
         wi_local = sampling.cosine_sample_hemisphere(u1, u2)
         wi = sg(sampling.rotate_z_to(nrm, wi_local))
         cos_wi = _dot(nrm, wi)
         pdf = sg(jnp.abs(cos_wi)) * INV_PI
 
-        albedo = scene.albedo[mat]
         # tracing.py:145-149: attenuation*cos/pdf*(1/pi); NaN guard (0/0 when
         # n·wi == 0) recomputes with pdf=1e-4, which yields exactly 0.
         safe_pdf = jnp.where(pdf == 0, 1.0, pdf)
@@ -191,19 +263,17 @@ def trace_reference(
         # Divergence from reference: distance along the ray (norm) instead of
         # the x-component ratio (tracing.py:100), and a relative margin so the
         # sampled light face itself never occludes.
-        p2, n2, light_mat = _sample_light_point(
-            scene, pixel_id, sample_id, bounce, seed, dtype
+        p2, n2, em = _sample_light_point(
+            scene, tables, pixel_id, sample_id, bounce, seed, dtype
         )
         to_light = p2 - p
         dist_sq = jnp.maximum(_dot(to_light, to_light), 1e-12)
         dist = jnp.sqrt(dist_sq)
         w = to_light / dist[:, None]
-        occ = any_hit(sg(p), sg(w), sg(dist) * (1.0 - cfg.shadow_eps))
+        occ = _any_hit(scene, tables, cfg, sg(p), sg(w), sg(dist) * (1.0 - cfg.shadow_eps))
         n_rays = n_rays + jnp.sum(alive, dtype=jnp.float32)
         dot1 = _dot(nrm, w)
         dot2 = _dot(n2, -w)
-        # reference evaluate(): emitter albedo as a vec3 (core/bsdf.py:54)
-        em = scene.albedo[light_mat]
         nee_ok = (alive & (~occ) & (dot1 > 0) & (dot2 > 0))[:, None]
         contrib = em * (dot1 * dot2 / dist_sq)[:, None]
         radiance = radiance + jnp.where(nee_ok, beta * contrib, 0.0)
@@ -239,7 +309,8 @@ def render_sample(
     sample_id,
     pixel_x,
     pixel_y,
-    tri_matrix=None,
+    tables: TraceTables | None = None,
+    backend: str = "auto",
 ):
     """Radiance for one sample of a block of pixels. pixel_x/y: (N,) int32."""
     w, _h = camera.resolution
@@ -248,23 +319,26 @@ def render_sample(
     ro, rd = generate_rays(camera, pixel_x, pixel_y, sample_arr, seed)
     if cfg.estimator == "reference":
         return trace_reference(
-            scene, cfg, ro, rd, pixel_id, sample_arr, seed, tri_matrix=tri_matrix
+            scene, cfg, ro, rd, pixel_id, sample_arr, seed, tables=tables, backend=backend
         )
     from pyrenderer_tpu.core.integrator_pbrt import trace_pbrt
 
     return trace_pbrt(
-        scene, cfg, ro, rd, pixel_id, sample_arr, seed, tri_matrix=tri_matrix
+        scene, cfg, ro, rd, pixel_id, sample_arr, seed, tables=tables, backend=backend
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "seed", "spp"))
-def render_block(scene, camera, cfg: RenderConfig, seed: int, spp: int, pixel_x, pixel_y):
+@partial(jax.jit, static_argnames=("cfg", "seed", "spp", "backend"))
+def render_block(
+    scene, camera, cfg: RenderConfig, seed: int, spp: int, pixel_x, pixel_y,
+    backend: str = "auto",
+):
     """Mean radiance over `spp` samples for a pixel block — one jitted unit."""
-    tri_matrix = isect.build_tri_matrix(scene)
+    tables = TraceTables(scene, cfg, backend)
 
     def one_sample(s):
         return render_sample(
-            scene, camera, cfg, seed, s, pixel_x, pixel_y, tri_matrix=tri_matrix
+            scene, camera, cfg, seed, s, pixel_x, pixel_y, tables=tables
         )
 
     total = jax.lax.map(one_sample, jnp.arange(spp, dtype=jnp.uint32)).sum(axis=0)
@@ -276,6 +350,7 @@ def render_image(
     camera: Camera,
     cfg: RenderConfig,
     chunk: int = 1 << 16,
+    backend: str = "auto",
 ):
     """Full-frame mean-radiance HDR image, (H, W, 3), row 0 at the top.
 
@@ -291,7 +366,7 @@ def render_image(
     for start in range(0, w * h, chunk):
         px = xs[start : start + chunk]
         py = ys[start : start + chunk]
-        out.append(render_block(scene, camera, cfg, cfg.seed, cfg.spp, px, py))
+        out.append(render_block(scene, camera, cfg, cfg.seed, cfg.spp, px, py, backend))
     img = jnp.concatenate(out).reshape(h, w, 3)
     # pixel y counts up from the bottom (taichi GUI convention,
     # main_taichi.py:89); flip so row 0 is the top of the image.

@@ -26,8 +26,7 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pyrenderer_tpu.config import RenderConfig
-from pyrenderer_tpu.core import intersect as isect
-from pyrenderer_tpu.core.integrator import render_sample
+from pyrenderer_tpu.core.integrator import TraceTables, render_sample
 from pyrenderer_tpu.scene.types import Camera, Scene
 
 
@@ -70,12 +69,12 @@ def render_field_sharded(
     )
     def shard_render(scene, camera, px, py):
         sp_idx = jax.lax.axis_index("sp")
-        tri_matrix = isect.build_tri_matrix(scene)
+        tables = TraceTables(scene, cfg, "auto")
 
         def one_sample(s):
             sample_id = (sp_idx * local_spp + s).astype(jnp.uint32)
             return render_sample(
-                scene, camera, cfg, cfg.seed, sample_id, px, py, tri_matrix=tri_matrix
+                scene, camera, cfg, cfg.seed, sample_id, px, py, tables=tables
             )
 
         local = jax.lax.map(one_sample, jnp.arange(local_spp, dtype=jnp.uint32)).sum(0)

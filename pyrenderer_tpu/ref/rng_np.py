@@ -50,3 +50,19 @@ def uniform(seed, pixel, sample, bounce, use, dtype=np.float64):
     bits = uniform_bits(seed, pixel, sample, bounce, use)
     # float32 first — identical quantization to the JAX path — then cast.
     return np.asarray((bits >> np.uint32(8)).astype(np.float32) * np.float32(1.0 / (1 << 24)), dtype)
+
+
+def uniform2(seed, pixel, sample, bounce, use, dtype=np.float64):
+    """Twin of rng.uniform2: two uniforms from one threefry call."""
+    with np.errstate(over="ignore"):
+        pixel = np.asarray(pixel, np.uint32)
+        sample = np.asarray(sample, np.uint32)
+        bounce = np.asarray(bounce, np.uint32)
+        use = np.asarray(use, np.uint32)
+        c0 = pixel
+        c1 = (sample << np.uint32(12)) | (bounce << np.uint32(4)) | use
+        x0, x1 = threefry2x32(np.uint32(seed & 0xFFFFFFFF), np.uint32(0x70617468), c0, c1)
+    scale = np.float32(1.0 / (1 << 24))
+    u0 = np.asarray((x0 >> np.uint32(8)).astype(np.float32) * scale, dtype)
+    u1 = np.asarray((x1 >> np.uint32(8)).astype(np.float32) * scale, dtype)
+    return u0, u1

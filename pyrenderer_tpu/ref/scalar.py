@@ -39,11 +39,14 @@ def _uni(seed, pixel, sample, bounce, use, dtype):
     return rng_np.uniform(seed, pixel, sample, bounce, use, dtype=dtype)
 
 
+def _uni2(seed, pixel, sample, bounce, use, dtype):
+    return rng_np.uniform2(seed, pixel, sample, bounce, use, dtype=dtype)
+
+
 def generate_ray(camera, x, y, sample, seed, dtype):
     w, h = camera.resolution
     pixel_id = y * w + x
-    jx = _uni(seed, pixel_id, sample, CAMERA_BOUNCE, U_PIXEL_X, dtype)
-    jy = _uni(seed, pixel_id, sample, CAMERA_BOUNCE, U_PIXEL_Y, dtype)
+    jx, jy = _uni2(seed, pixel_id, sample, CAMERA_BOUNCE, U_PIXEL_X, dtype)
     u = (dtype(x) + jx) / w
     v = (dtype(y) + jy) / h
 
@@ -55,8 +58,7 @@ def generate_ray(camera, x, y, sample, seed, dtype):
     d_cam = np.array([(u - dtype(0.5)) * sensor_w * 2, (v - dtype(0.5)) * sensor_h * 2, -focal], dtype)
     ap = dtype(camera.aperture)
     if ap > 0:
-        lx = _uni(seed, pixel_id, sample, CAMERA_BOUNCE, U_LENS_X, dtype)
-        ly = _uni(seed, pixel_id, sample, CAMERA_BOUNCE, U_LENS_Y, dtype)
+        lx, ly = _uni2(seed, pixel_id, sample, CAMERA_BOUNCE, U_LENS_X, dtype)
         o_cam = np.array([ap * lx - ap / 2, ap * ly - ap / 2, 0.0], dtype)
     else:
         o_cam = np.zeros(3, dtype)
@@ -168,8 +170,7 @@ def sample_light_point(scene, pixel_id, sample, bounce, seed, dtype):
     v0 = scene.vertices[f[0]].astype(dtype)
     v1 = scene.vertices[f[1]].astype(dtype)
     v2 = scene.vertices[f[2]].astype(dtype)
-    u = _uni(seed, pixel_id, sample, bounce, U_LIGHT_U, dtype)
-    v = _uni(seed, pixel_id, sample, bounce, U_LIGHT_V, dtype)
+    u, v = _uni2(seed, pixel_id, sample, bounce, U_LIGHT_U, dtype)
     su = sqrt(u)
     a = su * (1.0 - v)
     b = su * v
@@ -202,8 +203,7 @@ def trace_reference(scene, cfg, ro, rd, pixel_id, sample, seed, dtype):
                 radiance = radiance + light_color * beta * weight
             break
 
-        u1 = _uni(seed, pixel_id, sample, bounce, U_BSDF_0, dtype)
-        u2 = _uni(seed, pixel_id, sample, bounce, U_BSDF_1, dtype)
+        u1, u2 = _uni2(seed, pixel_id, sample, bounce, U_BSDF_0, dtype)
         wi = rotate_z_to(nrm, cosine_sample_hemisphere(u1, u2)).astype(dtype)
         cos_wi = np.dot(nrm, wi)
         pdf = abs(cos_wi) * INV_PI

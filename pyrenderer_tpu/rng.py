@@ -81,3 +81,20 @@ def uniform(seed: int, pixel, sample, bounce, use, dtype=jnp.float32):
     """Uniform in [0, 1) — float from the top 24 bits, identical to the oracle."""
     bits = uniform_bits(seed, pixel, sample, bounce, use)
     return ((bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))).astype(dtype)
+
+
+def uniform2(seed: int, pixel, sample, bounce, use, dtype=jnp.float32):
+    """Two uniforms from ONE threefry call (both output words) — halves RNG
+    cost for the paired draws (pixel jitter, lens, bsdf u1/u2, light u/v).
+    The pair is addressed by the first use-slot; the oracle mirrors this."""
+    pixel = jnp.asarray(pixel, jnp.uint32)
+    sample = jnp.asarray(sample, jnp.uint32)
+    bounce = jnp.asarray(bounce, jnp.uint32)
+    use = jnp.asarray(use, jnp.uint32)
+    c0 = pixel
+    c1 = (sample << 12) | (bounce << 4) | use
+    x0, x1 = threefry2x32(jnp.uint32(seed & _U32), jnp.uint32(0x70617468), c0, c1)
+    scale = jnp.float32(1.0 / (1 << 24))
+    u0 = ((x0 >> 8).astype(jnp.float32) * scale).astype(dtype)
+    u1 = ((x1 >> 8).astype(jnp.float32) * scale).astype(dtype)
+    return u0, u1
