@@ -75,9 +75,11 @@ def main():
         rays = sum(p[1] for p in parts)
         return total, rays
 
-    # warmup / compile
+    # warmup / compile. NOTE: jax.block_until_ready does NOT synchronize on
+    # the axon tunnel backend — only a host transfer (float()/np.asarray)
+    # does, so every timing boundary here forces one.
     t0 = time.time()
-    jax.block_until_ready(run_pass(0))
+    float(run_pass(0)[1])
     print(f"warmup {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
@@ -87,12 +89,12 @@ def main():
         rad, rays = run_pass(s)
         total_rays = total_rays + rays
         mean_rad = mean_rad + rad
-    jax.block_until_ready((total_rays, mean_rad))
+    total_rays = float(total_rays)  # true device sync
     dt = time.time() - t0
-    total_rays = float(total_rays)
+    mean_rad = np.asarray(mean_rad)
 
     mrays = total_rays / dt / 1e6
-    mean_val = float(mean_rad.sum()) / (w * h * spp * 3)
+    mean_val = float(mean_rad.sum()) / (w * h * spp * 3)  # noqa: already host
     print(
         f"{dt:.2f}s, {total_rays/1e6:.1f} Mrays, mean radiance {mean_val:.5f}",
         file=sys.stderr,

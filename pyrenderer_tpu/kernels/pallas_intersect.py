@@ -27,7 +27,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-DEF_BM = 256          # sublane rows per grid step
+DEF_BM = 128          # sublane rows per grid step (256 blows the 16M VMEM
+                      # scoped-stack limit: the unrolled triangle loop's
+                      # independent temporaries all stay live)
 UNROLL_T = 64         # unroll the triangle loop up to this many triangles
 MISS_T = 3.0e38
 
