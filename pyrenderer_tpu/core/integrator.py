@@ -72,11 +72,34 @@ def default_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "brute"
 
 
-def pack_face_data(scene: Scene):
-    """(T, 16) float per-face shading table: v0|e1|e2|albedo|sign|emissive|sided.
+def light_area_pdf(scene: Scene):
+    """(T,) area-measure pdf of sampling each light face via the uniform
+    prim -> uniform face -> uniform area chain: 1 / (L * nf * area).
+    Zero on non-light faces. Differentiable w.r.t. vertices."""
+    v = scene.vertices
+    f = scene.faces
+    e1 = v[f[:, 1]] - v[f[:, 0]]
+    e2 = v[f[:, 2]] - v[f[:, 0]]
+    area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    n_lights = scene.light_faces.shape[0]
+    pdf = jnp.zeros(f.shape[0], v.dtype)
+    for li in range(n_lights):  # static, tiny
+        nf = scene.light_nfaces[li]
+        faces = scene.light_faces[li]
+        pdf = pdf.at[faces].set(
+            1.0 / (n_lights * nf * jnp.maximum(area[faces], 1e-12))
+        )
+    return pdf
 
+
+def pack_face_data(scene: Scene, extended: bool = False):
+    """Per-face shading table, one row fetch per hit.
+
+    Base (T, 16): v0|e1|e2|albedo|sign|emissive|sided|pad.
+    Extended, for the pbrt estimator (T, 24): ... |mat_type|emission(3)|
+    ior|roughness|light_pdf_A|pad.
     Built once per trace from scene arrays (differentiable w.r.t. vertices
-    and albedo); the per-ray fetch is then a single row gather.
+    and albedo/emission).
     """
     v = scene.vertices
     f = scene.faces
@@ -91,13 +114,23 @@ def pack_face_data(scene: Scene):
         scene.normal_sign[:, None].astype(dtype),
         (scene.emissive[mat] > 0)[:, None].astype(dtype),
         (scene.sided[mat] > 0)[:, None].astype(dtype),
-        jnp.zeros((f.shape[0], 1), dtype),
     ]
+    if not extended:
+        cols.append(jnp.zeros((f.shape[0], 1), dtype))
+    else:
+        cols += [
+            scene.mat_type[mat][:, None].astype(dtype),
+            scene.emission[mat],
+            scene.ior[mat][:, None].astype(dtype),
+            scene.roughness[mat][:, None].astype(dtype),
+            light_area_pdf(scene)[:, None],
+            jnp.zeros((f.shape[0], 2), dtype),
+        ]
     return jnp.concatenate(cols, axis=1)
 
 
 def pack_light_data(scene: Scene, use_emission: bool):
-    """(L * F_max, 16) per-light-face table: v0|v1|v2|em|sign|pad.
+    """(L * F_max, 16) per-light-face table: v0|v1|v2|em|sign|pdf_A|pad.
 
     em = emitter albedo as vec3 in "reference" mode (reference
     core/bsdf.py:54 evaluate) or scene emission radiance in "pbrt" mode.
@@ -111,7 +144,8 @@ def pack_light_data(scene: Scene, use_emission: bool):
     cols = [
         v[f[:, 0]], v[f[:, 1]], v[f[:, 2]], em,
         scene.normal_sign[lf][:, None].astype(dtype),
-        jnp.zeros((lf.shape[0], 3), dtype),
+        light_area_pdf(scene)[lf][:, None],
+        jnp.zeros((lf.shape[0], 2), dtype),
     ]
     return jnp.concatenate(cols, axis=1)
 
@@ -123,8 +157,9 @@ class TraceTables(object):
         if backend == "auto":
             backend = default_backend()
         self.backend = backend
-        self.face_data = pack_face_data(scene)
-        self.light_data = pack_light_data(scene, use_emission=cfg.estimator != "reference")
+        extended = cfg.estimator != "reference"
+        self.face_data = pack_face_data(scene, extended=extended)
+        self.light_data = pack_light_data(scene, use_emission=extended)
         if backend == "pallas":
             self.tri_table = pk.pack_triangles(sg(scene.vertices), scene.faces)
         elif backend == "matmul":
@@ -172,10 +207,11 @@ def _sample_light_point(scene, tables, pixel_id, sample_id, bounce, seed, dtype)
     v0, v1, v2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
     em = row[:, 9:12]
     sign = row[:, 12]
+    pdf_a = row[:, 13]
     u, v = rng.uniform2(seed, pixel_id, sample_id, bounce, rng.U_LIGHT_U, dtype)
     p2 = sampling.sample_triangle_point(v0, v1, v2, u, v)
     n2 = sign[:, None] * _safe_normalize(jnp.cross(v1 - v0, v2 - v0))
-    return p2, n2, em
+    return p2, n2, em, pdf_a
 
 
 def trace_reference(
@@ -263,7 +299,7 @@ def trace_reference(
         # Divergence from reference: distance along the ray (norm) instead of
         # the x-component ratio (tracing.py:100), and a relative margin so the
         # sampled light face itself never occludes.
-        p2, n2, em = _sample_light_point(
+        p2, n2, em, _ = _sample_light_point(
             scene, tables, pixel_id, sample_id, bounce, seed, dtype
         )
         to_light = p2 - p
