@@ -37,7 +37,7 @@ def refract(uv, n, eta_ratio):
     core/bsdf_taichi.py:18-24)."""
     cos_theta = jnp.minimum(_dot(-uv, n), 1.0)
     r_out_perp = eta_ratio[..., None] * (uv + cos_theta[..., None] * n)
-    par_len = -jnp.sqrt(jnp.abs(1.0 - _dot(r_out_perp, r_out_perp)))
+    par_len = -sampling.safe_sqrt(jnp.abs(1.0 - _dot(r_out_perp, r_out_perp)))
     return r_out_perp + par_len[..., None] * n
 
 
@@ -54,7 +54,7 @@ def point_in_unit_sphere(u1, u2, u3):
     cbrt(u3) (the metal-fuzz perturbation, reference vec3_taichi.py random
     sphere point)."""
     cos_t = 1.0 - 2.0 * u1
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = sampling.safe_sqrt(1.0 - cos_t * cos_t)
     phi = 2.0 * PI * u2
     r = jnp.cbrt(u3)
     return jnp.stack(
@@ -80,8 +80,7 @@ def metal_sample(rd, nrm, roughness, u1, u2, u3):
     refl = reflect(rd, nrm)
     fuzz = point_in_unit_sphere(u1, u2, u3)
     wi = refl + roughness[..., None] * fuzz
-    norm = jnp.linalg.norm(wi, axis=-1, keepdims=True)
-    wi = wi / jnp.where(norm == 0, 1.0, norm)
+    wi = sampling.safe_normalize(wi)
     valid = _dot(wi, nrm) > 0
     return wi, valid
 
@@ -94,15 +93,14 @@ def dielectric_sample(rd, nrm, ior, u_choice):
     n_eff = jnp.where(front[..., None], nrm, -nrm)
     eta = jnp.where(front, 1.0 / ior, ior)
     cos_theta = jnp.minimum(_dot(-rd, n_eff), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    sin_theta = sampling.safe_sqrt(1.0 - cos_theta * cos_theta)
     cannot_refract = eta * sin_theta > 1.0
     reflect_prob = schlick(cos_theta, eta)
     do_reflect = cannot_refract | (u_choice < reflect_prob)
     wi_reflect = reflect(rd, n_eff)
     wi_refract = refract(rd, n_eff, eta)
     wi = jnp.where(do_reflect[..., None], wi_reflect, wi_refract)
-    norm = jnp.linalg.norm(wi, axis=-1, keepdims=True)
-    return wi / jnp.where(norm == 0, 1.0, norm)
+    return sampling.safe_normalize(wi)
 
 
 def power_heuristic(pf, pg):

@@ -28,11 +28,14 @@ Estimator modes (cfg.estimator):
   unused tracing.py:56 sample_direct_lighting2), russian roulette, and the
   metal/dielectric materials of core/bsdf_taichi.py / taichi_ref.py:408-434.
 
-Differentiability: discrete decisions (hit selection, visibility, sampled
-directions) are detached; shading quantities (normals, hit distances,
-albedo, emission, geometric terms) stay attached — the standard
-detached-sampling gradient estimator for d(image)/d(vertices, albedo,
-emission).
+Differentiability: the estimator is PATHWISE (reparameterized)
+differentiable — sampled directions are smooth maps of the fixed uniforms
+and scene geometry, so gradients flow through the whole bounce chain, and
+fixed-seed finite differences of the estimator match jax.grad exactly
+(tests/test_grad.py). Only genuinely discrete decisions (hit selection,
+visibility booleans, RR/Schlick branch choices) are constant a.e. and carry
+no gradient. All sqrt/normalize sites use the NaN-safe double-where guards
+in core/sampling.py — a single 0-gradient NaN would poison the whole image.
 """
 
 from __future__ import annotations
@@ -64,8 +67,7 @@ def _dot(a, b):
 
 
 def _safe_normalize(v):
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return v / jnp.where(n == 0, 1.0, n)
+    return sampling.safe_normalize(v)
 
 
 def default_backend() -> str:
@@ -281,11 +283,15 @@ def trace_reference(
 
         # Lambert cosine sample in the shading frame (reference bsdf.py:30
         # scatter + shapes.py:105-109 frame rotation; pdf = |n·wi|/pi).
+        # Pathwise (reparameterized) differentiability: wi is a smooth map of
+        # the normal and the fixed uniforms, so gradients flow through the
+        # sampled direction into later bounces — this is what makes
+        # fixed-seed finite differences match jax.grad (tests/test_grad.py).
         u1, u2 = rng.uniform2(seed, pixel_id, sample_id, bounce, rng.U_BSDF_0, dtype)
         wi_local = sampling.cosine_sample_hemisphere(u1, u2)
-        wi = sg(sampling.rotate_z_to(nrm, wi_local))
+        wi = sampling.rotate_z_to(nrm, wi_local)
         cos_wi = _dot(nrm, wi)
-        pdf = sg(jnp.abs(cos_wi)) * INV_PI
+        pdf = jnp.abs(cos_wi) * INV_PI
 
         # tracing.py:145-149: attenuation*cos/pdf*(1/pi); NaN guard (0/0 when
         # n·wi == 0) recomputes with pdf=1e-4, which yields exactly 0.

@@ -48,8 +48,7 @@ def _dot(a, b):
 
 
 def _safe_normalize(v):
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    return v / jnp.where(n == 0, 1.0, n)
+    return sampling.safe_normalize(v)
 
 
 def trace_pbrt(
@@ -112,7 +111,7 @@ def trace_pbrt(
         cos_l = _dot(-rd, nrm)
         dist_sq_hit = jnp.maximum(t * t, 1e-12)
         # pdf of having sampled this point via NEE, in solid angle
-        pdf_light_sa = sg(hit_pdf_a * dist_sq_hit / jnp.maximum(cos_l, 1e-6))
+        pdf_light_sa = hit_pdf_a * dist_sq_hit / jnp.maximum(cos_l, 1e-6)
         w_mis = jnp.where(
             (bounce == 0) | prev_spec,
             1.0,
@@ -141,8 +140,8 @@ def trace_pbrt(
             scene, tables, cfg, sg(p), sg(wl), sg(dist) * (1.0 - cfg.shadow_eps)
         )
         n_rays = n_rays + jnp.sum(alive, dtype=jnp.float32)
-        pdf_nee_sa = sg(pdf_a * dist_sq / jnp.maximum(cos_light, 1e-6))
-        pdf_bsdf_here = sg(bsdf.lambert_pdf(nrm, wl))
+        pdf_nee_sa = pdf_a * dist_sq / jnp.maximum(cos_light, 1e-6)
+        pdf_bsdf_here = bsdf.lambert_pdf(nrm, wl)
         w_nee = bsdf.power_heuristic(pdf_nee_sa, pdf_bsdf_here)
         f_val = albedo * INV_PI
         contrib = f_val * em * (w_nee * cos_surf / jnp.maximum(pdf_nee_sa, 1e-12))[:, None]
@@ -161,7 +160,6 @@ def trace_pbrt(
         wi = jnp.where(
             is_lambert[:, None], wi_l, jnp.where(is_metal[:, None], wi_m, wi_d)
         )
-        wi = sg(wi)
         # throughput scale: lambert f*cos/pdf = albedo; metal albedo (or die);
         # dielectric unity (clear glass)
         scale_l = albedo
@@ -173,12 +171,12 @@ def trace_pbrt(
         beta = jnp.where(alive[:, None], beta * scale, beta)
         alive = alive & jnp.where(is_metal, metal_ok, True)
 
-        prev_pdf = jnp.where(is_lambert, sg(pdf_l), 1.0)
+        prev_pdf = jnp.where(is_lambert, pdf_l, 1.0)
         prev_spec = ~is_lambert
 
         # ---- russian roulette (absent in the reference; SURVEY §7 north-star) ----
         u_rr = rng.uniform(seed, pixel_id, sample_id, bounce, rng.U_RR, dtype)
-        p_cont = jnp.clip(jnp.max(sg(beta), axis=-1), 0.05, 1.0)
+        p_cont = jnp.clip(jnp.max(beta, axis=-1), 0.05, 1.0)
         do_rr = bounce >= cfg.russian_roulette_start
         survive = (~do_rr) | (u_rr < p_cont)
         rr_scale = jnp.where(do_rr, 1.0 / p_cont, 1.0)

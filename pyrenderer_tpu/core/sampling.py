@@ -23,6 +23,25 @@ _AXIS_EPS = 1e-6  # reference uses float32-tiny (constants.py EPS); any value
                   # << 1 ulp-of-normals behaves identically
 
 
+def safe_sqrt(x):
+    """sqrt with a NaN-free backward at x <= 0 (double-where: guard the
+    operand, not just the result — where(c, 0, sqrt(x)) still propagates
+    inf*0 = NaN cotangents through the unselected branch)."""
+    nonpos = x <= 0
+    return jnp.where(nonpos, 0.0, jnp.sqrt(jnp.where(nonpos, 1.0, x)))
+
+
+def safe_normalize(v, fallback=None):
+    """v / |v| with NaN-free value AND gradient at |v| == 0."""
+    ss = jnp.sum(v * v, axis=-1, keepdims=True)
+    zero = ss == 0
+    inv = 1.0 / jnp.sqrt(jnp.where(zero, 1.0, ss))
+    out = v * jnp.where(zero, 0.0, inv)
+    if fallback is not None:
+        out = jnp.where(zero, fallback, out)
+    return out
+
+
 def concentric_sample_disk(u1, u2):
     ox = 2.0 * u1 - 1.0
     oy = 2.0 * u2 - 1.0
@@ -44,7 +63,7 @@ def concentric_sample_disk(u1, u2):
 def cosine_sample_hemisphere(u1, u2):
     """Local-frame direction with z up; pdf = z / pi."""
     dx, dy = concentric_sample_disk(u1, u2)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - dx * dx - dy * dy))
+    z = safe_sqrt(1.0 - dx * dx - dy * dy)
     return jnp.stack([dx, dy, z], axis=-1)
 
 
@@ -57,12 +76,10 @@ def make_frame(n):
     axis = pos_y | neg_y
 
     # general branch: x = normalize(cross(n, y_hat)) = normalize((-nz, 0, nx))
-    gx = jnp.stack([-n[..., 2], jnp.zeros_like(ny), n[..., 0]], axis=-1)
-    gx_norm = jnp.linalg.norm(gx, axis=-1, keepdims=True)
-    gx = gx / jnp.where(gx_norm == 0, 1.0, gx_norm)
-    gz = jnp.cross(gx, n)
-    gz_norm = jnp.linalg.norm(gz, axis=-1, keepdims=True)
-    gz = gz / jnp.where(gz_norm == 0, 1.0, gz_norm)
+    gx = safe_normalize(
+        jnp.stack([-n[..., 2], jnp.zeros_like(ny), n[..., 0]], axis=-1)
+    )
+    gz = safe_normalize(jnp.cross(gx, n))
 
     ex = jnp.zeros_like(n).at[..., 0].set(1.0)
     ez = jnp.zeros_like(n).at[..., 2].set(1.0)
@@ -91,8 +108,7 @@ def rotate_z_to(n, local):
         + local[..., 1:2] * z_hat
         + local[..., 2:3] * n_frame
     )
-    norm = jnp.linalg.norm(world, axis=-1, keepdims=True)
-    return world / jnp.where(norm == 0, 1.0, norm)
+    return safe_normalize(world)
 
 
 def sample_triangle_point(v0, v1, v2, u, v):
