@@ -1,0 +1,95 @@
+"""CLI: `python -m pyrenderer_tpu.render.cli scene.json [flags]`.
+
+The reference's CLI was `main.py`'s argparse (reference main.py:109-119,
+including its `type=bool` bug where `-d False` is truthy — not reproduced)
+plus hardcoded constants in main_taichi.py. Here every integrator/renderer
+knob from the scene JSON is honored and overridable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pyrenderer_tpu",
+        description="TPU-native differentiable path tracer",
+    )
+    p.add_argument("scene", help="Tungsten scene JSON")
+    p.add_argument("--spp", type=int, help="samples per pixel (scene default)")
+    p.add_argument("--spp-step", type=int, help="samples per progressive pass")
+    p.add_argument("--depth", type=int, help="max bounces (scene default)")
+    p.add_argument("--res", type=int, nargs=2, metavar=("W", "H"), help="override resolution")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--estimator", choices=["reference", "pbrt"], default="pbrt",
+        help="radiance estimator (default: physically based)",
+    )
+    p.add_argument(
+        "--tonemap", choices=["sqrt", "reinhard", "none"], help="LDR operator"
+    )
+    p.add_argument("--out", help="output PNG path (scene default)")
+    p.add_argument("--hdr-out", help="output EXR/NPY path")
+    p.add_argument(
+        "--backend", choices=["auto", "pallas", "matmul", "brute"], default="auto"
+    )
+    p.add_argument("--checkpoint", help="checkpoint .npz path (enables save)")
+    p.add_argument("--checkpoint-interval", type=int, help="passes between checkpoints")
+    p.add_argument("--resume", action="store_true", help="resume from --checkpoint")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from pyrenderer_tpu.core.film import Film
+    from pyrenderer_tpu.render.driver import ProgressiveRenderer
+    from pyrenderer_tpu.scene import load_tungsten
+
+    scene, camera, cfg = load_tungsten(args.scene)
+    overrides = {"seed": args.seed, "estimator": args.estimator}
+    if args.spp is not None:
+        overrides["spp"] = args.spp
+    if args.spp_step is not None:
+        overrides["spp_step"] = args.spp_step
+    if args.depth is not None:
+        overrides["max_bounces"] = args.depth
+    if args.res is not None:
+        overrides["resolution"] = tuple(args.res)
+    if args.tonemap is not None:
+        overrides["tonemap"] = args.tonemap
+    if args.out is not None:
+        overrides["output_file"] = args.out
+    if args.hdr_out is not None:
+        overrides["hdr_output_file"] = args.hdr_out
+    if args.checkpoint_interval is not None:
+        overrides["checkpoint_interval"] = args.checkpoint_interval
+    cfg = cfg.replace(**overrides)
+
+    film = None
+    if args.resume:
+        if not args.checkpoint:
+            print("--resume requires --checkpoint", file=sys.stderr)
+            return 2
+        film = Film.load(args.checkpoint)
+        print(f"resuming from {args.checkpoint} at {film.spp} spp", file=sys.stderr)
+
+    renderer = ProgressiveRenderer(scene, camera, cfg, backend=args.backend, film=film)
+    renderer.run(checkpoint_path=args.checkpoint, quiet=args.quiet)
+    written = renderer.write_outputs()
+    for path in written:
+        print(f"wrote {path}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,101 @@
+"""Driver/CLI/film/tonemap tests: progressive accumulation, checkpoint/resume."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyrenderer_tpu.config import RenderConfig
+from pyrenderer_tpu.core.film import Film
+from pyrenderer_tpu.core.integrator import render_image
+from pyrenderer_tpu.core.tonemap import tonemap
+from pyrenderer_tpu.render.driver import ProgressiveRenderer
+from pyrenderer_tpu.scene import load_tungsten
+
+
+def test_progressive_matches_batch(cornell_path):
+    """Accumulating 1-sample passes must equal the one-shot spp render."""
+    scene, camera, _ = load_tungsten(cornell_path)
+    cfg = RenderConfig(max_bounces=3, spp=4, spp_step=1, seed=2, resolution=(16, 16))
+    r = ProgressiveRenderer(scene, camera, cfg)
+    film = r.run(quiet=True)
+    assert film.spp == 4
+    import jax
+
+    batch = np.asarray(
+        render_image(
+            jax.tree.map(jnp.asarray, scene),
+            camera._replace(resolution=(16, 16)),
+            cfg,
+        )
+    )
+    np.testing.assert_allclose(film.hdr, batch, rtol=2e-5, atol=1e-6)
+
+
+def test_checkpoint_resume(cornell_path, tmp_path):
+    """Interrupt at 2 spp, resume to 4 — identical to an uninterrupted run."""
+    scene, camera, _ = load_tungsten(cornell_path)
+    cfg4 = RenderConfig(max_bounces=3, spp=4, spp_step=1, seed=2, resolution=(12, 12),
+                        checkpoint_interval=1)
+    ckpt = str(tmp_path / "film.npz")
+
+    half = ProgressiveRenderer(scene, camera, cfg4.replace(spp=2))
+    half.run(checkpoint_path=ckpt, quiet=True)
+    film = Film.load(ckpt)
+    assert film.spp == 2
+
+    resumed = ProgressiveRenderer(scene, camera, cfg4, film=film)
+    resumed.run(quiet=True)
+    full = ProgressiveRenderer(scene, camera, cfg4)
+    full.run(quiet=True)
+    np.testing.assert_allclose(resumed.film.hdr, full.film.hdr, rtol=1e-6)
+
+
+def test_resume_seed_mismatch_rejected(cornell_path):
+    scene, camera, _ = load_tungsten(cornell_path)
+    cfg = RenderConfig(spp=2, seed=2, resolution=(8, 8))
+    film = Film.blank(8, 8, seed=99)
+    with pytest.raises(ValueError, match="seed"):
+        ProgressiveRenderer(scene, camera, cfg, film=film)
+
+
+def test_tonemap_modes():
+    hdr = jnp.asarray(np.random.RandomState(0).uniform(0, 4, (8, 8, 3)))
+    s = np.asarray(tonemap(hdr, "sqrt"))
+    r = np.asarray(tonemap(hdr, "reinhard"))
+    assert s.min() >= 0 and s.max() <= 1
+    assert r.min() >= 0 and r.max() <= 1
+    # reinhard scales each pixel's rgb by one luminance factor: hue ratios
+    # survive wherever nothing clipped
+    unclipped = (r < 1.0).all(-1) & (np.asarray(hdr) > 1e-3).all(-1)
+    ratio_in = np.asarray(hdr)[unclipped][:, 0] / np.asarray(hdr)[unclipped][:, 1]
+    ratio_out = r[unclipped][:, 0] / r[unclipped][:, 1]
+    np.testing.assert_allclose(ratio_in, ratio_out, rtol=1e-5)
+    with pytest.raises(ValueError):
+        tonemap(hdr, "bogus")
+    # NaNs are zeroed, not propagated (reference tone_map.py:8)
+    bad = hdr.at[0, 0, 0].set(jnp.nan)
+    assert np.isfinite(np.asarray(tonemap(bad, "sqrt"))).all()
+
+
+def test_cli_end_to_end(cornell_path, tmp_path):
+    out = tmp_path / "cli_out.png"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "pyrenderer_tpu.render.cli", cornell_path,
+            "--cpu", "--res", "16", "16", "--spp", "2", "--depth", "2",
+            "--out", str(out), "--quiet",
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr
+    assert out.exists()
+    import imageio.v3 as iio
+
+    img = iio.imread(out)
+    assert img.shape == (16, 16, 3)
+    assert img.max() > 0
