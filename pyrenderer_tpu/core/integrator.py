@@ -153,21 +153,35 @@ def pack_light_data(scene: Scene, use_emission: bool):
 
 
 class TraceTables(object):
-    """Per-scene device tables shared across samples/passes of one jit."""
+    """Per-scene device tables shared across samples/passes of one jit.
 
-    def __init__(self, scene: Scene, cfg: RenderConfig, backend: str):
+    backend "bvh" requires a prebuilt FlatBVH (accel/bvh.py build_lbvh runs
+    on concrete host arrays — topology can't be traced)."""
+
+    def __init__(self, scene: Scene, cfg: RenderConfig, backend: str, bvh=None):
         if backend == "auto":
             backend = default_backend()
         self.backend = backend
         extended = cfg.estimator != "reference"
         self.face_data = pack_face_data(scene, extended=extended)
         self.light_data = pack_light_data(scene, use_emission=extended)
+        self.bvh = bvh
+        self.tri_table = None
         if backend == "pallas":
             self.tri_table = pk.pack_triangles(sg(scene.vertices), scene.faces)
         elif backend == "matmul":
             self.tri_table = isect.build_tri_matrix(scene)
-        else:
-            self.tri_table = None
+        elif backend == "bvh":
+            if bvh is None:
+                raise ValueError(
+                    "backend='bvh' needs a prebuilt accel.bvh.build_lbvh(...) "
+                    "passed as TraceTables(..., bvh=...) / render(..., bvh=...)"
+                )
+            v = sg(scene.vertices)
+            ordered = scene.faces[bvh.order]
+            self.bvh_v0 = v[ordered[:, 0]]
+            self.bvh_e1 = v[ordered[:, 1]] - self.bvh_v0
+            self.bvh_e2 = v[ordered[:, 2]] - self.bvh_v0
 
 
 def _closest(scene, tables, cfg, ro, rd, t1):
@@ -176,6 +190,13 @@ def _closest(scene, tables, cfg, ro, rd, t1):
         return pk.closest_hit(tables.tri_table, ro, rd, cfg.t_min, t1)
     if b == "matmul":
         return isect.intersect_matmul(scene, ro, rd, cfg.t_min, t1, tables.tri_table)
+    if b == "bvh":
+        from pyrenderer_tpu.accel import bvh as bvh_mod
+
+        return bvh_mod.traverse(
+            tables.bvh, tables.bvh_v0, tables.bvh_e1, tables.bvh_e2,
+            ro, rd, cfg.t_min, t1,
+        )
     return isect.intersect_brute(scene, ro, rd, cfg.t_min, t1)
 
 
@@ -185,6 +206,14 @@ def _any_hit(scene, tables, cfg, ro, rd, t1):
         return pk.occluded(tables.tri_table, ro, rd, cfg.t_min, t1)
     if b == "matmul":
         return isect.occluded_matmul(scene, ro, rd, cfg.t_min, t1, tables.tri_table)
+    if b == "bvh":
+        from pyrenderer_tpu.accel import bvh as bvh_mod
+
+        hit, _, _ = bvh_mod.traverse(
+            tables.bvh, tables.bvh_v0, tables.bvh_e1, tables.bvh_e2,
+            ro, rd, cfg.t_min, t1, any_hit=True,
+        )
+        return hit
     return isect.occluded(scene, ro, rd, cfg.t_min, t1)
 
 
@@ -353,30 +382,33 @@ def render_sample(
     pixel_y,
     tables: TraceTables | None = None,
     backend: str = "auto",
+    bvh=None,
 ):
     """Radiance for one sample of a block of pixels. pixel_x/y: (N,) int32."""
     w, _h = camera.resolution
     pixel_id = (pixel_y * w + pixel_x).astype(jnp.uint32)
     sample_arr = jnp.full_like(pixel_id, sample_id) if jnp.ndim(sample_id) == 0 else sample_id
     ro, rd = generate_rays(camera, pixel_x, pixel_y, sample_arr, seed)
+    if tables is None:
+        tables = TraceTables(scene, cfg, backend, bvh=bvh)
     if cfg.estimator == "reference":
         return trace_reference(
-            scene, cfg, ro, rd, pixel_id, sample_arr, seed, tables=tables, backend=backend
+            scene, cfg, ro, rd, pixel_id, sample_arr, seed, tables=tables
         )
     from pyrenderer_tpu.core.integrator_pbrt import trace_pbrt
 
     return trace_pbrt(
-        scene, cfg, ro, rd, pixel_id, sample_arr, seed, tables=tables, backend=backend
+        scene, cfg, ro, rd, pixel_id, sample_arr, seed, tables=tables
     )
 
 
 @partial(jax.jit, static_argnames=("cfg", "seed", "spp", "backend"))
 def render_block(
     scene, camera, cfg: RenderConfig, seed: int, spp: int, pixel_x, pixel_y,
-    backend: str = "auto",
+    backend: str = "auto", bvh=None,
 ):
     """Mean radiance over `spp` samples for a pixel block — one jitted unit."""
-    tables = TraceTables(scene, cfg, backend)
+    tables = TraceTables(scene, cfg, backend, bvh=bvh)
 
     def one_sample(s):
         return render_sample(
@@ -393,6 +425,7 @@ def render_image(
     cfg: RenderConfig,
     chunk: int = 1 << 16,
     backend: str = "auto",
+    bvh=None,
 ):
     """Full-frame mean-radiance HDR image, (H, W, 3), row 0 at the top.
 
@@ -408,7 +441,7 @@ def render_image(
     for start in range(0, w * h, chunk):
         px = xs[start : start + chunk]
         py = ys[start : start + chunk]
-        out.append(render_block(scene, camera, cfg, cfg.seed, cfg.spp, px, py, backend))
+        out.append(render_block(scene, camera, cfg, cfg.seed, cfg.spp, px, py, backend, bvh))
     img = jnp.concatenate(out).reshape(h, w, 3)
     # pixel y counts up from the bottom (taichi GUI convention,
     # main_taichi.py:89); flip so row 0 is the top of the image.

@@ -12,6 +12,7 @@ Differences by design:
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import replace
 from typing import Tuple
 
@@ -41,7 +42,9 @@ def _build_camera(data: dict, dtype=np.float32) -> Camera:
     )
 
 
-def build_scene(data: dict, dtype=np.float32) -> Tuple[Scene, Camera, RenderConfig]:
+def build_scene(
+    data: dict, dtype=np.float32, base_dir: str | None = None
+) -> Tuple[Scene, Camera, RenderConfig]:
     builder = SceneBuilder()
     name_to_mat = {}
     mat_specs = {}
@@ -52,7 +55,7 @@ def build_scene(data: dict, dtype=np.float32) -> Tuple[Scene, Camera, RenderConf
 
     for info in data.get("primitives", []):
         ptype = info.get("type")
-        if ptype not in ("quad", "cube"):
+        if ptype not in ("quad", "cube", "mesh"):
             # reference read_tungsten.py:34 warns and skips unknown prims
             print(f"[WARNING] {ptype} not implemented")
             continue
@@ -66,8 +69,16 @@ def build_scene(data: dict, dtype=np.float32) -> Tuple[Scene, Camera, RenderConf
         trans = make_transformation_matrix(info.get("transform", {}))
         if ptype == "quad":
             builder.add_quad(trans, mat_id)
-        else:
+        elif ptype == "cube":
             builder.add_cube(trans, mat_id)
+        else:  # "mesh": .obj file, path relative to the scene json
+            from pyrenderer_tpu.scene.obj import load_obj
+
+            obj_path = info["file"]
+            if base_dir is not None and not os.path.isabs(obj_path):
+                obj_path = os.path.join(base_dir, obj_path)
+            verts, faces = load_obj(obj_path)
+            builder.add_mesh(verts, faces, mat_id, normal_sign=1.0, transform=trans)
 
     scene = builder.finish(dtype=dtype)
     camera = _build_camera(data, dtype=dtype)
@@ -78,4 +89,4 @@ def build_scene(data: dict, dtype=np.float32) -> Tuple[Scene, Camera, RenderConf
 def load_tungsten(path: str, dtype=np.float32) -> Tuple[Scene, Camera, RenderConfig]:
     with open(path) as f:
         data = json.load(f)
-    return build_scene(data, dtype=dtype)
+    return build_scene(data, dtype=dtype, base_dir=os.path.dirname(os.path.abspath(path)))
