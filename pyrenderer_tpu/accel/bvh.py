@@ -69,6 +69,41 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
 
 
+def build_bvh(
+    vertices, faces, leaf_size: int = DEFAULT_LEAF_SIZE, method: str = "auto"
+) -> FlatBVH:
+    """Host-side build dispatch.
+
+    method: "sah" (native C++ 12-bucket SAH, pyrenderer_tpu/native/),
+    "lbvh" (Python Morton median-split), or "auto" (SAH when the native
+    library compiles, else LBVH).
+    """
+    if method in ("auto", "sah"):
+        from pyrenderer_tpu import native
+
+        v = np.asarray(vertices, np.float64)
+        f = np.asarray(faces, np.int64)
+        tri = v[f]
+        out = native.build_sah_bvh_native(
+            tri.min(axis=1).astype(np.float32),
+            tri.max(axis=1).astype(np.float32),
+            leaf_size,
+        )
+        if out is not None:
+            return FlatBVH(
+                bbox_min=jnp.asarray(out["bbox_min"]),
+                bbox_max=jnp.asarray(out["bbox_max"]),
+                first=jnp.asarray(out["first"]),
+                count=jnp.asarray(out["count"]),
+                escape=jnp.asarray(out["escape"]),
+                order=jnp.asarray(out["order"]),
+                leaf_size=leaf_size,
+            )
+        if method == "sah":
+            raise RuntimeError("native SAH builder unavailable (g++ failed)")
+    return build_lbvh(vertices, faces, leaf_size)
+
+
 def build_lbvh(vertices, faces, leaf_size: int = DEFAULT_LEAF_SIZE) -> FlatBVH:
     """Host-side build. vertices (V, 3), faces (T, 3) — NumPy or device."""
     vertices = np.asarray(vertices, np.float64)

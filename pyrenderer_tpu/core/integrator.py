@@ -256,6 +256,7 @@ def trace_reference(
     tables: TraceTables | None = None,
     backend: str = "auto",
     with_stats: bool = False,
+    collect_paths: bool = False,
 ):
     """Radiance for a wavefront of rays, 'reference' estimator semantics.
 
@@ -349,9 +350,21 @@ def trace_reference(
         contrib = em * (dot1 * dot2 / dist_sq)[:, None]
         radiance = radiance + jnp.where(nee_ok, beta * contrib, 0.0)
 
+        prev_alive = state[4]
         ro = jnp.where(alive[:, None], p, ro)
         rd = jnp.where(alive[:, None], wi, rd)
-        return (ro, rd, beta, radiance, alive, n_rays), None
+        ys = None
+        if collect_paths:
+            # per-bounce hit records (the RayLogger generalization, SURVEY
+            # §5.5): hit point, shading normal, next direction, t, face id,
+            # masks and running throughput
+            ys = dict(
+                hit_point=p, normal=nrm, wi=wi, t=t, tri=tri,
+                hit=hit & prev_alive, alive=alive, beta=beta,
+                radiance=radiance, nee_visible=(~occ) & alive,
+                light_point=p2,
+            )
+        return (ro, rd, beta, radiance, alive, n_rays), ys
 
     # Carries are derived from `ro` (not fresh constants) so that under
     # shard_map they inherit the mesh-varying type the scan body produces.
@@ -364,9 +377,11 @@ def trace_reference(
         zeros[:, 0] == 0,                       # alive (all True)
         jnp.sum(zeros[:, 0]).astype(jnp.float32),  # n_rays
     )
-    (ro, rd, beta, radiance, alive, n_rays), _ = jax.lax.scan(
+    (ro, rd, beta, radiance, alive, n_rays), ys = jax.lax.scan(
         bounce_step, init, jnp.arange(cfg.max_bounces, dtype=jnp.uint32)
     )
+    if collect_paths:
+        return radiance, ys
     if with_stats:
         return radiance, n_rays
     return radiance
