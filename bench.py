@@ -45,50 +45,55 @@ def main():
     ys = jnp.asarray(ys.reshape(-1), jnp.int32)
 
     backend = os.environ.get("BENCH_BACKEND", "auto")
-
-    @jax.jit
-    def pass_fn(scene, px, py, sample_id):
-        pixel_id = (py * w + px).astype(jnp.uint32)
-        sample = jnp.full_like(pixel_id, sample_id)
-        ro, rd = generate_rays(camera, px, py, sample, cfg.seed)
-        tables = TraceTables(scene, cfg, backend)
-        rad, n_rays = trace_reference(
-            scene, cfg, ro, rd, pixel_id, sample, cfg.seed,
-            tables=tables, with_stats=True,
-        )
-        return rad.sum(axis=0), n_rays
-
     n_chunks = (w * h + chunk - 1) // chunk
+    # chunked pixel coords: (n_chunks, chunk) — statically indexed inside jit
+    # so the whole benchmark is ONE dispatch (per-dispatch latency through
+    # the TPU tunnel is ~10 ms and would otherwise dominate).
+    pad = n_chunks * chunk - w * h
+    xs_c = jnp.pad(xs, (0, pad)).reshape(n_chunks, chunk)
+    ys_c = jnp.pad(ys, (0, pad)).reshape(n_chunks, chunk)
+
+    @partial(jax.jit, static_argnames=("n_samples",))
+    def bench_all(scene, xs_c, ys_c, first_sample, n_samples):
+        tables = TraceTables(scene, cfg, backend)
+
+        def one_sample(carry, s):
+            total, rays = carry
+            for c in range(n_chunks):
+                px, py = xs_c[c], ys_c[c]
+                pixel_id = (py * w + px).astype(jnp.uint32)
+                sample = jnp.full_like(pixel_id, s)
+                ro, rd = generate_rays(camera, px, py, sample, cfg.seed)
+                rad, n_rays = trace_reference(
+                    scene, cfg, ro, rd, pixel_id, sample, cfg.seed,
+                    tables=tables, with_stats=True,
+                )
+                total = total + rad.sum(axis=0)
+                rays = rays + n_rays
+            return (total, rays), None
+
+        init = (jnp.zeros(3), jnp.zeros(()))
+        (total, rays), _ = jax.lax.scan(
+            one_sample, init,
+            first_sample + jnp.arange(n_samples, dtype=jnp.uint32),
+        )
+        return total, rays
+
     print(
-        f"bench: {w}x{h}, {spp} passes, chunk={chunk} ({n_chunks} dispatches/pass), "
-        f"device={jax.devices()[0]}",
+        f"bench: {w}x{h}, {spp} passes, chunk={chunk} ({n_chunks} chunks/pass), "
+        f"backend={backend}, device={jax.devices()[0]}",
         file=sys.stderr,
     )
-
-    def run_pass(sample_id):
-        # accumulate on device; no host sync inside the timed loop
-        parts = []
-        for c in range(n_chunks):
-            sl = slice(c * chunk, (c + 1) * chunk)
-            parts.append(pass_fn(scene, xs[sl], ys[sl], jnp.uint32(sample_id)))
-        total = sum(p[0] for p in parts)
-        rays = sum(p[1] for p in parts)
-        return total, rays
 
     # warmup / compile. NOTE: jax.block_until_ready does NOT synchronize on
     # the axon tunnel backend — only a host transfer (float()/np.asarray)
     # does, so every timing boundary here forces one.
     t0 = time.time()
-    float(run_pass(0)[1])
+    float(bench_all(scene, xs_c, ys_c, jnp.uint32(0), n_samples=spp)[1])
     print(f"warmup {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    total_rays = jnp.zeros(())
-    mean_rad = jnp.zeros(3)
-    for s in range(spp):
-        rad, rays = run_pass(s)
-        total_rays = total_rays + rays
-        mean_rad = mean_rad + rad
+    mean_rad, total_rays = bench_all(scene, xs_c, ys_c, jnp.uint32(0), n_samples=spp)
     total_rays = float(total_rays)  # true device sync
     dt = time.time() - t0
     mean_rad = np.asarray(mean_rad)

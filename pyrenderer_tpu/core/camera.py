@@ -17,10 +17,14 @@ from pyrenderer_tpu import rng
 from pyrenderer_tpu.scene.types import Camera
 
 
-def generate_rays(camera: Camera, pixel_x, pixel_y, sample_id, seed: int):
+def generate_rays(camera: Camera, pixel_x, pixel_y, sample_id, seed: int,
+                  strata: int = 0):
     """Primary rays for pixel coords (x right, y up-from-bottom).
 
     pixel_x, pixel_y: (...,) int32; sample_id: scalar or (...,) int32.
+    strata > 1 enables stratified (jittered-grid) pixel sampling over a
+    strata x strata grid walked by sample_id (the capability of reference
+    taichi_ref.py:437-454; Tungsten's stratified_sampler flag).
     Returns (ro, rd): (..., 3) arrays in the camera's dtype.
     """
     w, h = camera.resolution
@@ -28,6 +32,12 @@ def generate_rays(camera: Camera, pixel_x, pixel_y, sample_id, seed: int):
     pixel_id = (pixel_y * w + pixel_x).astype(jnp.uint32)
 
     jx, jy = rng.uniform2(seed, pixel_id, sample_id, rng.CAMERA_BOUNCE, rng.U_PIXEL_X, dtype)
+    if strata > 1:
+        stratum = jnp.asarray(sample_id, jnp.uint32) % (strata * strata)
+        sx = (stratum % strata).astype(dtype)
+        sy = (stratum // strata).astype(dtype)
+        jx = (sx + jx) / strata
+        jy = (sy + jy) / strata
     u = (pixel_x.astype(dtype) + jx) / w
     v = (pixel_y.astype(dtype) + jy) / h
 

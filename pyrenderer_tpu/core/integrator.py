@@ -40,6 +40,7 @@ in core/sampling.py — a single 0-gradient NaN would poison the whole image.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -403,7 +404,8 @@ def render_sample(
     w, _h = camera.resolution
     pixel_id = (pixel_y * w + pixel_x).astype(jnp.uint32)
     sample_arr = jnp.full_like(pixel_id, sample_id) if jnp.ndim(sample_id) == 0 else sample_id
-    ro, rd = generate_rays(camera, pixel_x, pixel_y, sample_arr, seed)
+    strata = int(math.ceil(math.sqrt(cfg.spp))) if cfg.stratified else 0
+    ro, rd = generate_rays(camera, pixel_x, pixel_y, sample_arr, seed, strata=strata)
     if tables is None:
         tables = TraceTables(scene, cfg, backend, bvh=bvh)
     if cfg.estimator == "reference":

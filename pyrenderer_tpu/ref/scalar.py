@@ -43,10 +43,14 @@ def _uni2(seed, pixel, sample, bounce, use, dtype):
     return rng_np.uniform2(seed, pixel, sample, bounce, use, dtype=dtype)
 
 
-def generate_ray(camera, x, y, sample, seed, dtype):
+def generate_ray(camera, x, y, sample, seed, dtype, strata=0):
     w, h = camera.resolution
     pixel_id = y * w + x
     jx, jy = _uni2(seed, pixel_id, sample, CAMERA_BOUNCE, U_PIXEL_X, dtype)
+    if strata > 1:
+        stratum = int(sample) % (strata * strata)
+        jx = ((stratum % strata) + jx) / strata
+        jy = ((stratum // strata) + jy) / strata
     u = (dtype(x) + jx) / w
     v = (dtype(y) + jy) / h
 
@@ -240,11 +244,14 @@ def render_image(scene, camera, cfg, dtype=np.float64, pixels=None):
     img = np.zeros((h, w, 3), dtype)
     if pixels is None:
         pixels = [(x, y) for y in range(h) for x in range(w)]
+    from math import ceil, sqrt as _sqrt
+
+    strata = int(ceil(_sqrt(cfg.spp))) if getattr(cfg, "stratified", False) else 0
     for x, y in pixels:
         pixel_id = y * w + x
         acc = np.zeros(3, dtype)
         for s in range(cfg.spp):
-            ro, rd = generate_ray(camera, x, y, s, cfg.seed, dtype)
+            ro, rd = generate_ray(camera, x, y, s, cfg.seed, dtype, strata=strata)
             if cfg.estimator == "reference":
                 acc += trace_reference(scene, cfg, ro, rd, pixel_id, s, cfg.seed, dtype)
             else:

@@ -60,6 +60,47 @@ CUBE_FACES = np.array(
     np.int32,
 )
 
+def icosphere(subdivisions: int = 3):
+    """Unit-radius icosphere: icosahedron + midpoint subdivision, vertices
+    projected to the sphere. Returns (V, 3) float64, (T, 3) int32 with
+    outward (counter-clockwise from outside) winding."""
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+            [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+            [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1],
+        ],
+        np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = [
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+    ]
+    verts = [tuple(v) for v in verts]
+    cache = {}
+
+    def midpoint(a, b):
+        key = (min(a, b), max(a, b))
+        if key not in cache:
+            m = np.asarray(verts[a]) + np.asarray(verts[b])
+            m /= np.linalg.norm(m)
+            cache[key] = len(verts)
+            verts.append(tuple(m))
+        return cache[key]
+
+    for _ in range(subdivisions):
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+        faces = new_faces
+    return np.asarray(verts, np.float64), np.asarray(faces, np.int32)
+
+
 _MAT_CODES = {
     "lambert": MAT_LAMBERT,
     "null": MAT_LIGHT,
@@ -152,6 +193,17 @@ class SceneBuilder:
 
     def add_cube(self, transform: np.ndarray, material_id: int) -> None:
         self.add_mesh(CUBE_VERTICES, CUBE_FACES, material_id, +1.0, transform)
+
+    def add_sphere(
+        self, transform: np.ndarray, material_id: int, subdivisions: int = 3
+    ) -> None:
+        """Unit-diameter icosphere (radius 0.5, matching the quad/cube
+        canonical extent). The reference's spheres are analytic
+        (intersection_taichi.py:15 hit_sphere, taichi_ref.py scene) — on a
+        wavefront triangle pipeline tessellation keeps every primitive in
+        the one hot kernel; subdivision 3 = 1280 faces is visually smooth."""
+        verts, faces = icosphere(subdivisions)
+        self.add_mesh(verts * 0.5, faces, material_id, +1.0, transform)
 
     def finish(self, dtype=np.float32):
         from pyrenderer_tpu.scene.types import Scene

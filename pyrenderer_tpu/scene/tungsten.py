@@ -55,7 +55,7 @@ def build_scene(
 
     for info in data.get("primitives", []):
         ptype = info.get("type")
-        if ptype not in ("quad", "cube", "mesh"):
+        if ptype not in ("quad", "cube", "mesh", "sphere"):
             # reference read_tungsten.py:34 warns and skips unknown prims
             print(f"[WARNING] {ptype} not implemented")
             continue
@@ -71,6 +71,8 @@ def build_scene(
             builder.add_quad(trans, mat_id)
         elif ptype == "cube":
             builder.add_cube(trans, mat_id)
+        elif ptype == "sphere":
+            builder.add_sphere(trans, mat_id, int(info.get("subdivisions", 3)))
         else:  # "mesh": .obj file, path relative to the scene json
             from pyrenderer_tpu.scene.obj import load_obj
 
