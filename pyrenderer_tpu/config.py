@@ -31,6 +31,9 @@ class RenderConfig:
     russian_roulette_start: int = 4   # pbrt mode only; bounce at which RR kicks in
     tonemap: str = "sqrt"          # "sqrt" (main_taichi.py:61) | "reinhard" (:67) | "none"
     stratified: bool = False       # jittered-grid pixel sampling (Tungsten stratified_sampler)
+    adaptive: bool = False         # variance-guided sample allocation (Tungsten adaptive_sampling)
+    adaptive_min_spp: int = 8      # uniform spp before adaptivity kicks in
+    adaptive_tolerance: float = 0.02  # stop refining a pixel below this relative error
     shadow_eps: float = 1e-3       # relative margin excluding the sampled light face
     t_min: float = 1e-5            # reference tracing.py:125 hit epsilon
     t_max: float = 99999.9         # reference tracing.py:125
@@ -49,6 +52,7 @@ class RenderConfig:
             spp_step=int(rend.get("spp_step", 1)),
             tonemap={"filmic": "reinhard"}.get(data.get("camera", {}).get("tonemap"), "sqrt"),
             stratified=bool(rend.get("stratified_sampler", False)),
+            adaptive=bool(rend.get("adaptive_sampling", False)),
             output_file=rend.get("output_file", "out.png"),
             hdr_output_file=rend.get("hdr_output_file"),
             checkpoint_interval=int(rend.get("checkpoint_interval", 0) or 0),

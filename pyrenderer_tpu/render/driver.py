@@ -3,9 +3,10 @@
 Reference behavior reproduced (main_taichi.py:102-127): one-sample passes
 accumulated into the film, samples/s printed every `report_interval`
 passes, periodic PNG dumps, a pass cap — plus what the reference lacked:
-real checkpoint/resume (Film.save/load) honoring the scene's
-checkpoint_interval, rays/s accounting from the integrator's own counters,
-and a multi-device path through dist/render.py.
+real checkpoint/resume (Film.save/load), variance-guided ADAPTIVE sampling
+(Tungsten's adaptive_sampling flag, parsed-but-ignored by the reference —
+scene.json:278), rays/s accounting, and a multi-device path through
+dist/render.py.
 """
 
 from __future__ import annotations
@@ -30,21 +31,39 @@ from pyrenderer_tpu.utils.image_io import write_hdr, write_png
 
 @partial(jax.jit, static_argnames=("cfg", "backend", "n_samples"))
 def _render_pass(scene, camera, cfg: RenderConfig, first_sample, n_samples: int,
-                 pixel_x, pixel_y, backend: str = "auto"):
-    """Sum of `n_samples` sample radiances for all given pixels."""
-    tables = TraceTables(scene, cfg, backend)
+                 pixel_x, pixel_y, backend: str = "auto", bvh=None):
+    """(sum, sum-of-squares) of `n_samples` sample radiances per pixel."""
+    tables = TraceTables(scene, cfg, backend, bvh=bvh)
 
-    def one(s):
-        return render_sample(
+    def one(carry, s):
+        total, sq = carry
+        r = render_sample(
             scene, camera, cfg, cfg.seed, first_sample + s, pixel_x, pixel_y,
             tables=tables,
         )
+        return (total + r, sq + r * r), None
 
-    return jax.lax.map(one, jnp.arange(n_samples, dtype=jnp.uint32)).sum(axis=0)
+    zeros = jnp.zeros((pixel_x.shape[0], 3), scene.vertices.dtype)
+    (total, sq), _ = jax.lax.scan(
+        one, (zeros, zeros), jnp.arange(n_samples, dtype=jnp.uint32)
+    )
+    return total, sq
+
+
+@partial(jax.jit, static_argnames=("cfg", "backend"))
+def _render_pass_ids(scene, camera, cfg: RenderConfig, sample_ids,
+                     pixel_x, pixel_y, backend: str = "auto", bvh=None):
+    """One sample per pixel with PER-PIXEL sample ids (adaptive passes)."""
+    tables = TraceTables(scene, cfg, backend, bvh=bvh)
+    r = render_sample(
+        scene, camera, cfg, cfg.seed, sample_ids, pixel_x, pixel_y, tables=tables
+    )
+    return r, r * r
 
 
 class ProgressiveRenderer:
-    """Accumulates spp_step-sample passes into a Film until cfg.spp."""
+    """Accumulates spp_step-sample passes into a Film until cfg.spp; with
+    cfg.adaptive, refines only unconverged pixels past adaptive_min_spp."""
 
     def __init__(
         self,
@@ -53,6 +72,7 @@ class ProgressiveRenderer:
         cfg: RenderConfig,
         backend: str = "auto",
         film: Optional[Film] = None,
+        bvh=None,
         chunk: int = 1 << 18,
         report_interval: int = 10,
         on_pass: Optional[Callable[["ProgressiveRenderer"], None]] = None,
@@ -63,6 +83,7 @@ class ProgressiveRenderer:
         self.camera = camera
         self.cfg = cfg
         self.backend = backend
+        self.bvh = bvh
         self.chunk = chunk
         self.report_interval = report_interval
         self.on_pass = on_pass
@@ -73,47 +94,100 @@ class ProgressiveRenderer:
                 f"resume film was rendered with seed {film.seed}, config has {cfg.seed}"
             )
         ys, xs = np.mgrid[0:h, 0:w]
-        self._px = jnp.asarray(xs.reshape(-1), jnp.int32)
-        self._py = jnp.asarray(ys.reshape(-1), jnp.int32)
+        self._px_np = xs.reshape(-1).astype(np.int32)
+        self._py_np = ys.reshape(-1).astype(np.int32)
+        self._px = jnp.asarray(self._px_np)
+        self._py = jnp.asarray(self._py_np)
 
     def render_one_pass(self) -> None:
+        """One uniform spp_step pass over all pixels."""
         w, h = self.camera.resolution
         step = self.cfg.spp_step
-        parts = []
+        sums, sqs = [], []
         for start in range(0, w * h, self.chunk):
             sl = slice(start, start + self.chunk)
-            parts.append(
-                _render_pass(
-                    self.scene, self.camera, self.cfg,
-                    jnp.uint32(self.film.next_sample), step,
-                    self._px[sl], self._py[sl], self.backend,
-                )
+            s, q = _render_pass(
+                self.scene, self.camera, self.cfg,
+                jnp.uint32(self.film.next_sample), step,
+                self._px[sl], self._py[sl], self.backend, self.bvh,
             )
-        img = np.asarray(jnp.concatenate(parts).reshape(h, w, 3)[::-1])
-        self.film.add_pass(img, step)
+            sums.append(s)
+            sqs.append(q)
+        img = np.asarray(jnp.concatenate(sums).reshape(h, w, 3)[::-1])
+        sq = np.asarray(jnp.concatenate(sqs).reshape(h, w, 3)[::-1])
+        self.film.add_pass(img, sq, step)
+
+    def refine_adaptive(self, quiet: bool = False) -> int:
+        """One adaptive sweep: render one extra sample for every pixel whose
+        relative error exceeds cfg.adaptive_tolerance, up to cfg.spp.
+        Returns the number of refined pixels."""
+        w, h = self.camera.resolution
+        err = self.film.relative_error()
+        spp_ok = self.film.spp_map >= self.cfg.spp
+        active = (err > self.cfg.adaptive_tolerance) & (~spp_ok)
+        idx = np.nonzero(active[::-1].reshape(-1))[0]  # flip back to y-up order
+        if idx.size == 0:
+            return 0
+        for start in range(0, idx.size, self.chunk):
+            part = idx[start : start + self.chunk]
+            k = part.size
+            # pad to a power of two (min 4096) — bounds the number of
+            # distinct compiled shapes (TPU compiles are expensive)
+            padded = max(4096, 1 << (k - 1).bit_length())
+            pad = padded - k
+            part_p = np.pad(part, (0, pad), mode="edge")
+            px = jnp.asarray(self._px_np[part_p])
+            py = jnp.asarray(self._py_np[part_p])
+            rows = h - 1 - self._py_np[part]
+            cols = self._px_np[part]
+            sample_ids = jnp.asarray(
+                self.film.spp_map[rows, cols].astype(np.uint32)
+            )
+            sample_ids = jnp.pad(sample_ids, (0, pad), mode="edge")
+            r, q = _render_pass_ids(
+                self.scene, self.camera, self.cfg, sample_ids, px, py,
+                self.backend, self.bvh,
+            )
+            self.film.add_pixels(rows, cols, np.asarray(r)[:k], np.asarray(q)[:k])
+        if not quiet:
+            print(f"adaptive: refined {idx.size} pixels", file=sys.stderr)
+        return int(idx.size)
 
     def run(self, checkpoint_path: Optional[str] = None, quiet: bool = False):
         cfg = self.cfg
         last_t = time.time()
         passes = 0
-        while self.film.spp < cfg.spp:
+        uniform_target = (
+            min(cfg.adaptive_min_spp, cfg.spp) if cfg.adaptive else cfg.spp
+        )
+        while self.film.spp < uniform_target:
             self.render_one_pass()
             passes += 1
             if not quiet and passes % self.report_interval == 0:
                 dt = time.time() - last_t
-                w, h = self.camera.resolution
                 sps = self.report_interval * cfg.spp_step / dt
                 print(
                     f"{sps:.2f} samples/s ({self.film.spp}/{cfg.spp} spp)",
                     file=sys.stderr,
                 )
                 last_t = time.time()
+            if self.on_pass:
+                self.on_pass(self)
             if (
                 checkpoint_path
                 and cfg.checkpoint_interval
                 and passes % cfg.checkpoint_interval == 0
             ):
                 self.film.save(checkpoint_path)
+        if cfg.adaptive:
+            while self.refine_adaptive(quiet=quiet):
+                passes += 1
+                if (
+                    checkpoint_path
+                    and cfg.checkpoint_interval
+                    and passes % cfg.checkpoint_interval == 0
+                ):
+                    self.film.save(checkpoint_path)
         if checkpoint_path and cfg.checkpoint_interval:
             self.film.save(checkpoint_path)
         return self.film

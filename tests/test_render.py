@@ -81,6 +81,30 @@ def test_tonemap_modes():
     assert np.isfinite(np.asarray(tonemap(bad, "sqrt"))).all()
 
 
+def test_adaptive_sampling(cornell_path):
+    """Adaptive refinement: noisy pixels get extra samples, converged ones
+    stop at min spp; final image stays unbiased vs a high-spp baseline."""
+    scene, camera, _ = load_tungsten(cornell_path)
+    cfg = RenderConfig(
+        max_bounces=3, spp=12, spp_step=1, seed=4, resolution=(24, 24),
+        adaptive=True, adaptive_min_spp=4, adaptive_tolerance=0.05,
+    )
+    r = ProgressiveRenderer(scene, camera, cfg)
+    film = r.run(quiet=True)
+    spp = film.spp_map
+    assert spp.min() >= 4
+    assert spp.max() <= 12
+    assert spp.max() > spp.min()  # some pixels actually got refined
+    # unconverged-or-capped everywhere: err <= tol or spp at cap
+    err = film.relative_error()
+    assert np.all((err <= cfg.adaptive_tolerance) | (spp >= cfg.spp))
+    # against a flat high-spp render, the adaptive image is consistent
+    flat = ProgressiveRenderer(scene, camera, cfg.replace(adaptive=False, spp=48, seed=4))
+    flat.run(quiet=True)
+    diff = np.abs(film.hdr - flat.film.hdr).mean()
+    assert diff < 0.05
+
+
 def test_cli_end_to_end(cornell_path, tmp_path):
     out = tmp_path / "cli_out.png"
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
