@@ -34,7 +34,7 @@ def main():
     scene = jax.tree.map(jnp.asarray, scene)
 
     res = int(os.environ.get("BENCH_RES", "1024"))
-    spp = int(os.environ.get("BENCH_SPP", "8"))
+    spp = int(os.environ.get("BENCH_SPP", "16"))
     chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 18)))
     camera = camera._replace(resolution=(res, res))
     cfg = RenderConfig(max_bounces=4, spp=spp, seed=0)

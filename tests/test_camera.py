@@ -43,6 +43,31 @@ def test_fov_extent(camera):
     assert slope_bottom < 0 < slope_top
 
 
+def test_depth_of_field(camera):
+    """Aperture > 0: origins jitter on the lens square (reference CPU
+    semantics, core/camera.py:59-61), oracle parity holds."""
+    cam = camera._replace(
+        aperture=jnp.asarray(0.2, jnp.float32),
+        focal_dist=jnp.asarray(5.0, jnp.float32),
+    )
+    n = 64
+    px = jnp.full((n,), 512, jnp.int32)
+    py = jnp.full((n,), 512, jnp.int32)
+    ro, rd = generate_rays(cam, px, py, jnp.arange(n, dtype=jnp.uint32), seed=1)
+    ro = np.asarray(ro)
+    # origins spread over the aperture square around the eye
+    assert ro[:, 0].std() > 0.01 and ro[:, 1].std() > 0.01
+    assert np.abs(ro[:, 0] - 0.0).max() <= 0.101
+    # oracle parity for a DoF camera
+    ro_n, rd_n = ref.generate_ray(cam, 512, 512, 7, 1, np.float32)
+    ro_j, rd_j = generate_rays(
+        cam, jnp.asarray([512], jnp.int32), jnp.asarray([512], jnp.int32),
+        jnp.asarray([7], jnp.uint32), seed=1,
+    )
+    np.testing.assert_allclose(np.asarray(ro_j)[0], ro_n, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rd_j)[0], rd_n, atol=1e-6)
+
+
 def test_matches_scalar_oracle(camera):
     """JAX ray gen must match the NumPy oracle bit-for-bit in draws, tightly in floats."""
     w, h = camera.resolution

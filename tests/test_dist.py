@@ -54,6 +54,39 @@ def test_sharded_dp_only(setup):
     assert out.max() > 0.1
 
 
+def test_config5_scene_sharded(cornell_path):
+    """BASELINE config 5 shape: the Cornell+mesh scene, pixel tiles over dp
+    and spp over sp (full scale runs on real hardware; this validates the
+    sharded program end-to-end)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(cornell_path)), "..", "..",
+        "scenes", "cornell_mesh.json",
+    )
+    scene, camera, cfg = load_tungsten(os.path.abspath(path))
+    assert scene.faces.shape[0] == 5 * 2 + 12 + 12 + 2
+    camera = camera._replace(resolution=(16, 16))
+    cfg = RenderConfig(max_bounces=4, spp=8, seed=1, estimator="pbrt",
+                       stratified=True)
+    scene_j = jax.tree.map(jnp.asarray, scene)
+    mesh = make_mesh(8, dp=4, sp=2)
+    w, h = camera.resolution
+    ys, xs = np.mgrid[0:h, 0:w]
+    px = jnp.asarray(xs.reshape(-1), jnp.int32)
+    py = jnp.asarray(ys.reshape(-1), jnp.int32)
+    out = np.asarray(
+        jax.jit(render_field_sharded, static_argnames=("cfg", "mesh"))(
+            scene_j, camera, cfg, mesh, px, py
+        )
+    )
+    single = np.asarray(
+        render_block(scene_j, camera, cfg, cfg.seed, cfg.spp, px, py)
+    )
+    np.testing.assert_allclose(out, single, rtol=2e-5, atol=1e-6)
+    assert out.mean() > 0.01
+
+
 def test_train_step_runs_and_descends(setup):
     scene, camera, cfg, px, py = setup
     mesh = make_mesh(8, dp=4, sp=2)
