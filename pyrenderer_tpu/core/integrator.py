@@ -157,7 +157,41 @@ class TraceTables(object):
     """Per-scene device tables shared across samples/passes of one jit.
 
     backend "bvh" requires a prebuilt FlatBVH (accel/bvh.py build_lbvh runs
-    on concrete host arrays — topology can't be traced)."""
+    on concrete host arrays — topology can't be traced).
+
+    backend "custom" (built via TraceTables.custom) routes intersection and
+    per-face shading fetches through caller-supplied closures — the hook the
+    geometry-sharded path (dist/geometry.py) uses so each device only holds
+    its own triangle shard."""
+
+    closest_fn = None
+    any_hit_fn = None
+    fetch_face_fn = None
+
+    @classmethod
+    def custom(cls, face_data, light_data, closest_fn, any_hit_fn,
+               fetch_face_fn=None):
+        """Build tables around caller-supplied intersection closures.
+
+        closest_fn(ro, rd, t1) -> (hit, t, tri); any_hit_fn(ro, rd, t1) ->
+        occluded bool; fetch_face_fn(tri) -> (N, K) packed face rows
+        (defaults to a fetch from face_data, which may be a local shard)."""
+        self = cls.__new__(cls)
+        self.backend = "custom"
+        self.face_data = face_data
+        self.light_data = light_data
+        self.bvh = None
+        self.tri_table = None
+        self.closest_fn = closest_fn
+        self.any_hit_fn = any_hit_fn
+        self.fetch_face_fn = fetch_face_fn
+        return self
+
+    def fetch_face(self, tri):
+        """Packed shading row per hit id (one-hot MXU fetch by default)."""
+        if self.fetch_face_fn is not None:
+            return self.fetch_face_fn(tri)
+        return lut.fetch_rows(self.face_data, tri)
 
     def __init__(self, scene: Scene, cfg: RenderConfig, backend: str, bvh=None):
         if backend == "auto":
@@ -187,6 +221,8 @@ class TraceTables(object):
 
 def _closest(scene, tables, cfg, ro, rd, t1):
     b = tables.backend
+    if b == "custom":
+        return tables.closest_fn(ro, rd, t1)
     if b == "pallas":
         return pk.closest_hit(tables.tri_table, ro, rd, cfg.t_min, t1)
     if b == "matmul":
@@ -203,6 +239,8 @@ def _closest(scene, tables, cfg, ro, rd, t1):
 
 def _any_hit(scene, tables, cfg, ro, rd, t1):
     b = tables.backend
+    if b == "custom":
+        return tables.any_hit_fn(ro, rd, t1)
     if b == "pallas":
         return pk.occluded(tables.tri_table, ro, rd, cfg.t_min, t1)
     if b == "matmul":
@@ -283,7 +321,7 @@ def trace_reference(
         # One packed-row fetch (one-hot matmul — see core/lut.py); then
         # differentiable re-evaluation of the selected triangle's geometry
         # (the selection itself is detached).
-        row = lut.fetch_rows(tables.face_data, tri)
+        row = tables.fetch_face(tri)
         v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
         albedo = row[:, 9:12]
         sign = row[:, 12]

@@ -82,7 +82,7 @@ def trace_pbrt(
         tri = sg(jnp.maximum(tri, 0))
         hit = sg(hit)
 
-        row = lut.fetch_rows(tables.face_data, tri)
+        row = tables.fetch_face(tri)
         v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
         albedo = row[:, 9:12]
         sign = row[:, 12]

@@ -72,6 +72,28 @@ def _accept(det, t, u, v, t0, t1):
     )
 
 
+def intersect_brute_arrays(v0, e1, e2, ro, rd, t0, t1):
+    """Closest hit over raw (T, 3) triangle arrays (v0, e1=v1-v0, e2=v2-v0).
+
+    Returns (hit (N,) bool, t (N,), tri (N,) i32). Degenerate padding rows
+    (e1 = e2 = 0 => det = 0) can never be accepted, so callers may pad the
+    triangle set freely (used by dist/geometry.py shard padding)."""
+    det, t, u, v = _mt_terms(v0, e1, e2, ro, rd)
+    valid = _accept(det, t, u, v, t0, t1)
+    big = jnp.asarray(jnp.inf, t.dtype)
+    t_masked = jnp.where(valid, t, big)
+    tri = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
+    t_hit = jnp.take_along_axis(t_masked, tri[:, None].astype(jnp.int32), axis=1)[:, 0]
+    hit = jnp.isfinite(t_hit)
+    return hit, jnp.where(hit, t_hit, 0.0), tri
+
+
+def occluded_arrays(v0, e1, e2, ro, rd, t0, t1):
+    """Any-hit shadow query over raw triangle arrays (see intersect_brute_arrays)."""
+    det, t, u, v = _mt_terms(v0, e1, e2, ro, rd)
+    return jnp.any(_accept(det, t, u, v, t0, t1), axis=1)
+
+
 def intersect_brute(scene: Scene, ro, rd, t0, t1):
     """Closest hit over all triangles. Returns (hit (N,) bool, t (N,), tri (N,) i32).
 
