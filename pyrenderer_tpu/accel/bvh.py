@@ -15,8 +15,10 @@ Re-designs the reference's two BVHs for flat arrays:
 
 Build runs on host NumPy at scene-load time (it is part of scene I/O, like
 the reference's World.commit); traversal is JAX. For small scenes the
-brute-force Pallas kernel wins on TPU (no divergence, triangles in SMEM) —
-core/integrator.py auto-selects by triangle count.
+brute-force Pallas kernel wins on TPU (no divergence, triangles in SMEM);
+core/integrator.py resolve_backend picks this path past AUTO_BRUTE_MAX_TRIS
+when a FlatBVH was prebuilt, and render_image / ProgressiveRenderer build
+one automatically (core/integrator.py maybe_build_bvh).
 """
 
 from __future__ import annotations

@@ -29,7 +29,12 @@ class RenderConfig:
     estimator: str = "reference"   # "reference" | "pbrt"
     seed: int = 0
     russian_roulette_start: int = 4   # pbrt mode only; bounce at which RR kicks in
-    tonemap: str = "sqrt"          # "sqrt" (main_taichi.py:61) | "reinhard" (:67) | "none"
+    tonemap: str = "sqrt"          # "sqrt" (main_taichi.py:61) | "reinhard" (:67) |
+    #                                "filmic" (Hable; Tungsten scene.json:277) | "none"
+    preview_interval: int = 0      # passes between preview PNG dumps; 0 = off
+    #                                (reference dumped out.png every 100 passes,
+    #                                 main_taichi.py:119-125)
+    preview_file: str = "preview.png"
     stratified: bool = False       # jittered-grid pixel sampling (Tungsten stratified_sampler)
     adaptive: bool = False         # variance-guided sample allocation (Tungsten adaptive_sampling)
     adaptive_min_spp: int = 8      # uniform spp before adaptivity kicks in
@@ -50,7 +55,12 @@ class RenderConfig:
             max_bounces=int(integ.get("max_bounces", 16)),
             spp=int(rend.get("spp", 64)),
             spp_step=int(rend.get("spp_step", 1)),
-            tonemap={"filmic": "reinhard"}.get(data.get("camera", {}).get("tonemap"), "sqrt"),
+            tonemap=(
+                data.get("camera", {}).get("tonemap")
+                if data.get("camera", {}).get("tonemap")
+                in ("filmic", "reinhard", "sqrt", "none")
+                else "sqrt"
+            ),
             stratified=bool(rend.get("stratified_sampler", False)),
             adaptive=bool(rend.get("adaptive_sampling", False)),
             output_file=rend.get("output_file", "out.png"),

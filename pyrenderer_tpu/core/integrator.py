@@ -71,8 +71,32 @@ def _safe_normalize(v):
     return sampling.safe_normalize(v)
 
 
+# Largest triangle count routed to the whole-table intersection paths by
+# default. Above it the (9, T) SMEM operand of the fused Pallas kernel (and
+# the O(N*T) work of every brute path) stops being the right tool; auto
+# selection switches to an accelerated backend (bvh — prebuilt on host).
+AUTO_BRUTE_MAX_TRIS = 4096
+
+
 def default_backend() -> str:
+    """Platform default with no scene knowledge (small-scene assumption)."""
     return "pallas" if jax.default_backend() == "tpu" else "brute"
+
+
+def resolve_backend(backend: str, n_tris: int, has_bvh: bool) -> str:
+    """Turn "auto" into a concrete backend for a scene of `n_tris` faces.
+
+    Small scenes: the fused whole-table kernels win (no divergence,
+    triangles resident on-chip). Large scenes: the BVH traversal when a
+    prebuilt FlatBVH is available (render_image / ProgressiveRenderer build
+    one automatically), else fall back to the whole-table path with a
+    warning-by-docstring (it is correct, just O(T))."""
+    if backend != "auto":
+        return backend
+    base = default_backend()
+    if n_tris <= AUTO_BRUTE_MAX_TRIS:
+        return base
+    return "bvh" if has_bvh else base
 
 
 def light_area_pdf(scene: Scene):
@@ -194,8 +218,7 @@ class TraceTables(object):
         return lut.fetch_rows(self.face_data, tri)
 
     def __init__(self, scene: Scene, cfg: RenderConfig, backend: str, bvh=None):
-        if backend == "auto":
-            backend = default_backend()
+        backend = resolve_backend(backend, scene.faces.shape[0], bvh is not None)
         self.backend = backend
         extended = cfg.estimator != "reference"
         self.face_data = pack_face_data(scene, extended=extended)
@@ -474,6 +497,22 @@ def render_block(
     return total / spp
 
 
+def maybe_build_bvh(scene: Scene, backend: str, bvh=None):
+    """Host-side BVH auto-build for the entry points (driver, render_image).
+
+    Builds a FlatBVH when the caller asked for backend="bvh" without one, or
+    when "auto" resolves past AUTO_BRUTE_MAX_TRIS. Must run on concrete
+    (non-traced) scene arrays — call before entering jit."""
+    if bvh is not None:
+        return bvh
+    n_tris = scene.faces.shape[0]
+    if backend == "bvh" or (backend == "auto" and n_tris > AUTO_BRUTE_MAX_TRIS):
+        from pyrenderer_tpu.accel.bvh import build_bvh
+
+        return build_bvh(scene.vertices, scene.faces)
+    return None
+
+
 def render_image(
     scene: Scene,
     camera: Camera,
@@ -488,6 +527,7 @@ def render_image(
     render_block. Progressive/accumulating rendering lives in
     render/driver.py — this is the simple whole-frame entry.
     """
+    bvh = maybe_build_bvh(scene, backend, bvh)
     w, h = camera.resolution
     ys, xs = jnp.mgrid[0:h, 0:w]
     xs = xs.reshape(-1).astype(jnp.int32)

@@ -99,23 +99,13 @@ def intersect_brute(scene: Scene, ro, rd, t0, t1):
 
     Ties resolve to the lowest face index, matching the reference's
     sequential strict-less-than scan (shapes.py:80-90)."""
-    v0, e1, e2 = _gather_tris(scene)
-    det, t, u, v = _mt_terms(v0, e1, e2, ro, rd)
-    valid = _accept(det, t, u, v, t0, t1)
-    big = jnp.asarray(jnp.inf, t.dtype)
-    t_masked = jnp.where(valid, t, big)
-    tri = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
-    t_hit = jnp.take_along_axis(t_masked, tri[:, None].astype(jnp.int32), axis=1)[:, 0]
-    hit = jnp.isfinite(t_hit)
-    return hit, jnp.where(hit, t_hit, 0.0), tri
+    return intersect_brute_arrays(*_gather_tris(scene), ro, rd, t0, t1)
 
 
 def occluded(scene: Scene, ro, rd, t0, t1):
     """Any-hit shadow query with per-ray t1 (the reference runs a full
     closest-hit BVH walk for this — tracing.py:103; any-hit suffices)."""
-    v0, e1, e2 = _gather_tris(scene)
-    det, t, u, v = _mt_terms(v0, e1, e2, ro, rd)
-    return jnp.any(_accept(det, t, u, v, t0, t1), axis=1)
+    return occluded_arrays(*_gather_tris(scene), ro, rd, t0, t1)
 
 
 # ---------------------------------------------------------------------------

@@ -9,10 +9,12 @@ intersection_taichi.py:189 World) — so this is a pure north-star addition.
 Mechanism per bounce (all inside one shard_map body, so XLA overlaps the
 collectives with the next chunk's compute):
   1. every device runs closest-hit against its local (T/gp)-triangle shard;
-  2. per-ray local best-t is `all_gather`-ed over "gp" (tiny: one f32/ray
-     per device) and argmin-ed — the winning device is unique per ray;
+  2. per-ray local best-t is `all_gather`-ed over "gp" (one f32/ray per
+     device) and argmin-ed — the winning device is unique per ray;
   3. the winner contributes the global face id and, later, the packed
-     shading row, via masked `psum` (everyone else sends exact zeros);
+     (N, K=16/24) shading rows, via masked `psum` (everyone else sends
+     exact zeros) — so each bounce also carries one K-float row per ray
+     over the "gp" axis, not just the scalar t;
   4. NEE shadow rays reduce with a boolean-or `psum`.
 
 Hit selection is detached in the integrator (core/integrator.py), so the

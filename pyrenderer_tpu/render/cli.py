@@ -28,13 +28,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="radiance estimator (default: physically based)",
     )
     p.add_argument(
-        "--tonemap", choices=["sqrt", "reinhard", "none"], help="LDR operator"
+        "--tonemap", choices=["sqrt", "reinhard", "filmic", "none"],
+        help="LDR operator",
     )
     p.add_argument("--out", help="output PNG path (scene default)")
     p.add_argument("--hdr-out", help="output EXR/NPY path")
     p.add_argument(
-        "--backend", choices=["auto", "pallas", "matmul", "brute"], default="auto"
+        "--backend",
+        choices=["auto", "pallas", "matmul", "brute", "bvh"],
+        default="auto",
+        help="intersection backend (auto selects by platform and triangle count)",
     )
+    p.add_argument(
+        "--preview-interval", type=int,
+        help="dump a tonemapped preview PNG every N passes (reference dumped "
+        "out.png every 100 — main_taichi.py:119-125)",
+    )
+    p.add_argument("--preview-file", help="preview PNG path (default preview.png)")
     p.add_argument("--checkpoint", help="checkpoint .npz path (enables save)")
     p.add_argument("--checkpoint-interval", type=int, help="passes between checkpoints")
     p.add_argument("--resume", action="store_true", help="resume from --checkpoint")
@@ -73,6 +83,10 @@ def main(argv=None) -> int:
         overrides["hdr_output_file"] = args.hdr_out
     if args.checkpoint_interval is not None:
         overrides["checkpoint_interval"] = args.checkpoint_interval
+    if args.preview_interval is not None:
+        overrides["preview_interval"] = args.preview_interval
+    if args.preview_file is not None:
+        overrides["preview_file"] = args.preview_file
     cfg = cfg.replace(**overrides)
 
     film = None

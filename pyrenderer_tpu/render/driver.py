@@ -23,7 +23,7 @@ import numpy as np
 
 from pyrenderer_tpu.config import RenderConfig
 from pyrenderer_tpu.core.film import Film
-from pyrenderer_tpu.core.integrator import TraceTables, render_sample
+from pyrenderer_tpu.core.integrator import TraceTables, maybe_build_bvh, render_sample
 from pyrenderer_tpu.core.tonemap import tonemap
 from pyrenderer_tpu.scene.types import Camera, Scene
 from pyrenderer_tpu.utils.image_io import write_hdr, write_png
@@ -83,7 +83,9 @@ class ProgressiveRenderer:
         self.camera = camera
         self.cfg = cfg
         self.backend = backend
-        self.bvh = bvh
+        # auto-build the accelerator for large scenes / explicit bvh backend
+        # (host-side; scene arrays are concrete here)
+        self.bvh = maybe_build_bvh(scene, backend, bvh)
         self.chunk = chunk
         self.report_interval = report_interval
         self.on_pass = on_pass
@@ -153,6 +155,14 @@ class ProgressiveRenderer:
             print(f"adaptive: refined {idx.size} pixels", file=sys.stderr)
         return int(idx.size)
 
+    def write_preview(self, path: Optional[str] = None) -> str:
+        """Dump the current tonemapped accumulation (the reference dumped
+        out.png every 100 passes — main_taichi.py:119-125)."""
+        path = path or self.cfg.preview_file
+        ldr = np.asarray(tonemap(jnp.asarray(self.film.hdr), self.cfg.tonemap))
+        write_png(path, ldr)
+        return path
+
     def run(self, checkpoint_path: Optional[str] = None, quiet: bool = False):
         cfg = self.cfg
         last_t = time.time()
@@ -173,6 +183,8 @@ class ProgressiveRenderer:
                 last_t = time.time()
             if self.on_pass:
                 self.on_pass(self)
+            if cfg.preview_interval and passes % cfg.preview_interval == 0:
+                self.write_preview()
             if (
                 checkpoint_path
                 and cfg.checkpoint_interval

@@ -83,6 +83,9 @@ def build_scene(
             builder.add_mesh(verts, faces, mat_id, normal_sign=1.0, transform=trans)
 
     scene = builder.finish(dtype=dtype)
+    from pyrenderer_tpu.utils.checks import validate_scene
+
+    validate_scene(scene)  # load-time gate: fail here, not obscurely mid-trace
     camera = _build_camera(data, dtype=dtype)
     config = RenderConfig.from_tungsten(data)
     return scene, camera, config

@@ -81,6 +81,43 @@ def test_tonemap_modes():
     assert np.isfinite(np.asarray(tonemap(bad, "sqrt"))).all()
 
 
+def test_tonemap_filmic():
+    """Hable filmic: range, strict monotonicity, 0->0, distinct from reinhard."""
+    x = jnp.linspace(0.0, 16.0, 513)[:, None, None] * jnp.ones((1, 1, 3))
+    f = np.asarray(tonemap(x, "filmic"))
+    assert f.min() >= 0 and f.max() <= 1
+    assert f[0].max() == 0.0  # maps black to black
+    ramp = f[:, 0, 0]
+    assert (np.diff(ramp) >= 0).all()
+    assert (np.diff(ramp[ramp < 0.999]) > 0).all()  # strictly increasing pre-clip
+    # a real shoulder/toe curve, not the reinhard alias of round 1
+    r = np.asarray(tonemap(x, "reinhard"))
+    assert np.abs(f - r).max() > 0.05
+    assert np.isfinite(np.asarray(tonemap(x.at[0, 0, 0].set(jnp.nan), "filmic"))).all()
+
+
+def test_preview_interval(cornell_path, tmp_path, monkeypatch):
+    """--preview-interval dumps intermediate tonemapped PNGs during the run
+    (reference main_taichi.py:119-125 dumped out.png every 100 passes)."""
+    scene, camera, _ = load_tungsten(cornell_path)
+    preview = tmp_path / "prev.png"
+    cfg = RenderConfig(
+        max_bounces=2, spp=3, spp_step=1, seed=1, resolution=(8, 8),
+        preview_interval=1, preview_file=str(preview),
+    )
+    seen = []
+    r = ProgressiveRenderer(
+        scene, camera, cfg,
+        on_pass=lambda rr: seen.append(preview.exists()),
+    )
+    r.run(quiet=True)
+    assert preview.exists()
+    import imageio.v3 as iio
+
+    img = iio.imread(preview)
+    assert img.shape == (8, 8, 3)
+
+
 def test_adaptive_sampling(cornell_path):
     """Adaptive refinement: noisy pixels get extra samples, converged ones
     stop at min spp; final image stays unbiased vs a high-spp baseline."""

@@ -83,7 +83,9 @@ def test_config(cornell):
     _, _, cfg = cornell
     assert cfg.max_bounces == 16
     assert cfg.spp == 64
-    assert cfg.tonemap == "reinhard"
+    # scene.json:277 asks for "filmic" — honored directly (the reference
+    # parsed and ignored it; round 1 aliased it to reinhard)
+    assert cfg.tonemap == "filmic"
 
 
 def test_trs_composition_order():
@@ -102,3 +104,30 @@ def test_look_at_rowvec_roundtrip():
     # eye maps to the camera-space origin under the row-vector convention
     homo = np.array([*eye, 1.0])
     assert np.allclose(homo @ view, [0, 0, 0, 1], atol=1e-12)
+
+
+def test_validate_scene_gate(cornell_path):
+    """build_scene rejects structurally broken scenes at load time
+    (out-of-range face indices used to load fine and fail obscurely)."""
+    import jax.numpy as jnp
+
+    from pyrenderer_tpu.utils.checks import validate_scene
+
+    scene, _, _ = load_tungsten(cornell_path)
+    validate_scene(scene)  # the good scene passes
+    bad = scene._replace(faces=jnp.asarray(scene.faces).at[0, 0].set(10_000))
+    with pytest.raises(ValueError, match="face indices"):
+        validate_scene(bad)
+
+
+def test_resolve_backend_by_count():
+    from pyrenderer_tpu.core.integrator import (
+        AUTO_BRUTE_MAX_TRIS,
+        resolve_backend,
+    )
+
+    small, big = 36, AUTO_BRUTE_MAX_TRIS + 1
+    assert resolve_backend("brute", big, False) == "brute"  # explicit wins
+    assert resolve_backend("auto", small, False) in ("pallas", "brute")
+    # large scene with a prebuilt accelerator -> bvh
+    assert resolve_backend("auto", big, True) == "bvh"
