@@ -1,15 +1,29 @@
-"""Multi-device scaling-efficiency harness (BASELINE north star: >=85%
-rays/s efficiency from 1 to N devices).
+"""Multi-device / multi-process scaling-efficiency harness (BASELINE north
+star: >=85% rays/s efficiency from 1 to N hosts).
 
-On real multi-chip hardware run as-is; on a single host set
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
-to validate the sharded path functionally (CPU numbers are not a
-performance statement, the harness is the deliverable).
+Two modes:
 
-Prints a table of device count vs Mrays/s and the parallel efficiency.
+  single-process (default): shard over 1..N local devices with a (dp, sp)
+  mesh. On real multi-chip hardware run as-is; on one host set
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+  to validate the sharded path functionally.
+
+  multi-process (--processes N --cpu-devices K): spawns N OS processes of
+  K virtual CPU devices each, joined by jax.distributed over localhost
+  (pyrenderer_tpu/dist/worker.py) — the functional stand-in for N hosts.
+  Reports Mrays/s at 1 process and N processes and the derived scaling
+  efficiency. CPU numbers are not a TPU performance statement; the
+  harness (and the collective path it exercises) is the deliverable, and
+  on a real pod the same worker runs unchanged per host.
+
+Prints a table of configuration vs Mrays/s and parallel efficiency.
 """
 
+import argparse
+import json
 import os
+import socket
+import subprocess
 import sys
 import time
 
@@ -17,8 +31,65 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+SCENE = os.path.join(ROOT, "scenes", "cornell_box.json")
 
-def main():
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_processes(n_proc: int, cpu_devices: int, res: int, spp: int,
+                  depth: int, reps: int):
+    """Spawn n_proc workers; return the merged RESULT dict of process 0."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = []
+    for pid in range(n_proc):
+        cmd = [
+            sys.executable, "-m", "pyrenderer_tpu.dist.worker", SCENE,
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", str(n_proc), "--process-id", str(pid),
+            "--cpu-devices", str(cpu_devices),
+            "--res", str(res), "--spp", str(spp), "--depth", str(depth),
+            "--reps", str(reps),
+        ]
+        procs.append(subprocess.Popen(cmd, cwd=ROOT, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE, text=True))
+    result = None
+    for p in procs:
+        out, err = p.communicate(timeout=1200)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{out}\n{err[-3000:]}")
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                if r["process_id"] == 0:
+                    result = r
+    return result
+
+
+def multi_process_table(args):
+    rows = []
+    for n in [1, args.processes]:
+        r = run_processes(n, args.cpu_devices, args.res, args.spp,
+                          args.depth, args.reps)
+        rows.append((n, r["global_devices"], r["mrays_per_s"], r["time_s"]))
+    base = rows[0][2]
+    print(f"{'procs':>6s} {'devices':>8s} {'Mrays/s':>10s} {'time(s)':>8s} {'efficiency':>10s}")
+    for n, dev, mrays, dt in rows:
+        eff = mrays / (base * n)
+        print(f"{n:6d} {dev:8d} {mrays:10.2f} {dt:8.3f} {eff:9.1%}")
+    return rows
+
+
+def single_process_table(args):
     import jax
     import jax.numpy as jnp
 
@@ -26,12 +97,10 @@ def main():
     from pyrenderer_tpu.dist.render import make_mesh, render_field_sharded
     from pyrenderer_tpu.scene import load_tungsten
 
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    scene, camera, _ = load_tungsten(os.path.join(root, "scenes", "cornell_box.json"))
+    scene, camera, _ = load_tungsten(SCENE)
     scene = jax.tree.map(jnp.asarray, scene)
-    res = int(os.environ.get("SCALE_RES", "256"))
-    camera = camera._replace(resolution=(res, res))
-    cfg = RenderConfig(max_bounces=4, spp=int(os.environ.get("SCALE_SPP", "8")), seed=0)
+    camera = camera._replace(resolution=(args.res, args.res))
+    cfg = RenderConfig(max_bounces=args.depth, spp=args.spp, seed=0)
 
     w, h = camera.resolution
     ys, xs = np.mgrid[0:h, 0:w]
@@ -51,11 +120,10 @@ def main():
         out = f(scene, camera, cfg, mesh, px, py)
         float(jnp.asarray(out).sum())  # compile+sync
         t0 = time.time()
-        reps = 3
-        for _ in range(reps):
+        for _ in range(args.reps):
             out = f(scene, camera, cfg, mesh, px, py)
         float(jnp.asarray(out).sum())
-        dt = (time.time() - t0) / reps
+        dt = (time.time() - t0) / args.reps
         rows.append((n, approx_rays / dt / 1e6, dt))
 
     base = rows[0][1]
@@ -63,6 +131,26 @@ def main():
     for n, mrays, dt in rows:
         eff = mrays / (base * n)
         print(f"{n:8d} {mrays:10.1f} {dt:8.3f} {eff:9.1%}")
+    return rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--processes", type=int, default=0,
+                   help="multi-process mode: number of worker processes")
+    p.add_argument("--cpu-devices", type=int, default=4,
+                   help="virtual CPU devices per process (multi-process mode)")
+    p.add_argument("--res", type=int,
+                   default=int(os.environ.get("SCALE_RES", "256")))
+    p.add_argument("--spp", type=int,
+                   default=int(os.environ.get("SCALE_SPP", "8")))
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+    if args.processes > 1:
+        multi_process_table(args)
+    else:
+        single_process_table(args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,282 @@
+"""Cluster two-level acceleration structure — the TPU-native "BVH".
+
+Large scenes cannot use the whole-table kernels (kernels/pallas_intersect.py
+holds all triangles in SMEM — O(T) work and a hard SMEM ceiling), and a
+per-ray stackless pointer-chase (accel/bvh.py traverse, the shape of the
+reference's intersection_taichi.py:256-287 walk) is hostile to the TPU's
+8x128 vector unit: every ray diverges, every node fetch is a scalar gather.
+
+This module re-designs the accelerator around what the hardware does well:
+
+  - triangles are Morton-sorted and packed into CLUSTERS of 128 — one
+    cluster = one VPU lane row, so a cluster leaf test is a dense
+    (rays x 128) Moeller-Trumbore evaluated at full vector width;
+  - 16 clusters form a SUPERCLUSTER; both levels carry AABBs. Traversal
+    is a lockstep sweep: a ray TILE tests the supercluster box (vector,
+    per-ray), a scalar any() decides whether the whole tile descends, and
+    the same trick prunes each child cluster. Skipped groups cost one
+    scalar branch — no per-ray pointer chasing, no gathers;
+  - per-ray running t-bounds feed back into the cull, so far geometry is
+    skipped exactly like a BVH's ordered traversal prunes;
+  - rays are sorted by direction octant + origin Morton cell before the
+    sweep (wavefront coherence: a tile then touches few superclusters).
+
+The reference analog of the *build* is bvh_taichi.py:69-104 (median split +
+escape pointers); here the Morton sort gives the spatial split and the
+flat two-level layout replaces the tree. The *leaf test* is the batch
+Moeller-Trumbore of mathematics/intersection.py:68-82, at (rays, 128) tile
+granularity.
+
+Build runs on host NumPy at scene-load time (like World.commit in the
+reference); the traversal kernel lives in kernels/pallas_cluster.py with a
+pure-JAX twin here (`closest_hit_ref`) as the CPU/correctness oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyrenderer_tpu.accel.bvh import GAMMA2_3, _morton3
+
+LANE_TRIS = 128   # triangles per cluster = VPU lane width
+GROUP = 16        # clusters per supercluster
+TRI_ROWS = 16     # rows per cluster in the packed (K*16, 128) table (9 used)
+
+MISS_T = 3.0e38
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClusterScene:
+    """Device-ready clustered geometry.
+
+    K = padded cluster count (multiple of GROUP), S = K // GROUP.
+    Padded clusters carry inverted AABBs (min=+inf, max=-inf) so every
+    slab test fails; padded triangle slots duplicate a real triangle of
+    the same cluster (harmless for closest/any hit — same surface).
+    """
+
+    tri: jnp.ndarray         # (K * TRI_ROWS, 128) f32 — rows v0|e1|e2 (9) + pad
+    child_box: jnp.ndarray   # (K, 128) f32 — one row per cluster, lanes
+                             # bmin.xyz|bmax.xyz (6 used; children of super-
+                             # cluster s are rows s*GROUP..s*GROUP+15, so the
+                             # kernel's (GROUP, 128) slice has children in
+                             # sublanes and broadcasts against rays in lanes)
+    super_box: jnp.ndarray   # (6, S) f32 — bmin.xyz|bmax.xyz columns per supercluster
+    super_cols: jnp.ndarray  # (S_pad, 128) f32 — same boxes, one row per
+                             # supercluster with comps in lanes 0..5, S
+                             # padded to a 32-multiple (inverted boxes) for
+                             # the kernel's dense prepass + bit packing
+    bitw: jnp.ndarray        # (S_pad, 1) i32 — 1 << (s % 32) bit weights
+    order: jnp.ndarray       # (K * 128,) i32 — packed slot -> original face id
+    world_lo: jnp.ndarray    # (3,) f32 scene AABB (for ray-sort quantization)
+    world_inv_span: jnp.ndarray  # (3,) f32
+
+    @property
+    def n_superclusters(self) -> int:
+        return self.super_box.shape[1]
+
+    @property
+    def n_clusters(self) -> int:
+        return self.tri.shape[0] // TRI_ROWS
+
+
+def build_clusters(vertices, faces) -> ClusterScene:
+    """Host-side build: Morton sort -> 128-triangle clusters -> AABB levels."""
+    v = np.asarray(vertices, np.float64)
+    f = np.asarray(faces, np.int64)
+    t = f.shape[0]
+    tri = v[f]                                  # (T, 3, 3)
+    tmin = tri.min(axis=1)
+    tmax = tri.max(axis=1)
+    cent = 0.5 * (tmin + tmax)
+    lo = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo, 1e-12)
+    codes = _morton3((cent - lo) / span)
+    order = np.argsort(codes, kind="stable").astype(np.int64)
+
+    k_real = -(-t // LANE_TRIS)
+    k = -(-k_real // GROUP) * GROUP
+    s = k // GROUP
+
+    # pad the order with duplicates of the last sorted face up to full
+    # clusters; fully-padded clusters are masked out via inverted AABBs
+    slots = k_real * LANE_TRIS
+    order_p = np.concatenate([order, np.full(slots - t, order[-1], np.int64)])
+    idx = order_p.reshape(k_real, LANE_TRIS)    # (K_real, 128) face ids
+
+    fo = f[idx]                                  # (K_real, 128, 3)
+    v0 = v[fo[:, :, 0]]
+    e1 = v[fo[:, :, 1]] - v0
+    e2 = v[fo[:, :, 2]] - v0
+    planes = np.stack(
+        [v0[..., 0], v0[..., 1], v0[..., 2],
+         e1[..., 0], e1[..., 1], e1[..., 2],
+         e2[..., 0], e2[..., 1], e2[..., 2]],
+        axis=1,
+    ).astype(np.float32)                         # (K_real, 9, 128)
+
+    tri_rows = np.zeros((k, TRI_ROWS, LANE_TRIS), np.float32)
+    tri_rows[:k_real, :9] = planes
+
+    # one-ulp outward rounding: the f64 -> f32 cast of both the boxes and
+    # the packed triangle planes rounds independently; widening keeps every
+    # f32 triangle inside its f32 box
+    cmin = np.full((k, 3), np.inf, np.float32)
+    cmax = np.full((k, 3), -np.inf, np.float32)
+    cmin[:k_real] = np.nextafter(
+        tmin[idx].min(axis=1).astype(np.float32), np.float32(-np.inf)
+    )
+    cmax[:k_real] = np.nextafter(
+        tmax[idx].max(axis=1).astype(np.float32), np.float32(np.inf)
+    )
+
+    child = np.zeros((k, LANE_TRIS), np.float32)
+    child[:, 0:3] = cmin
+    child[:, 3:6] = cmax
+
+    smin = cmin.reshape(s, GROUP, 3).min(axis=1)
+    smax = cmax.reshape(s, GROUP, 3).max(axis=1)
+    super_box = np.concatenate([smin.T, smax.T], axis=0).astype(np.float32)
+
+    s_pad = -(-s // 32) * 32
+    super_cols = np.zeros((s_pad, LANE_TRIS), np.float32)
+    super_cols[:, 0:3] = np.inf          # padded rows: inverted boxes
+    super_cols[:, 3:6] = -np.inf
+    super_cols[:s, 0:3] = smin
+    super_cols[:s, 3:6] = smax
+    bitw = (1 << (np.arange(s_pad, dtype=np.int64) % 32)).astype(np.int32)
+
+    order_full = np.concatenate(
+        [order_p, np.zeros((k - k_real) * LANE_TRIS, np.int64)]
+    ).astype(np.int32)
+
+    wlo = tmin.min(axis=0)
+    wspan = np.maximum(tmax.max(axis=0) - wlo, 1e-12)
+    return ClusterScene(
+        tri=jnp.asarray(tri_rows.reshape(k * TRI_ROWS, LANE_TRIS)),
+        child_box=jnp.asarray(child),
+        super_box=jnp.asarray(super_box),
+        super_cols=jnp.asarray(super_cols),
+        bitw=jnp.asarray(bitw[:, None]),
+        order=jnp.asarray(order_full),
+        world_lo=jnp.asarray(wlo, jnp.float32),
+        world_inv_span=jnp.asarray(1.0 / wspan, jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wavefront ray sorting (coherence for the lockstep tile sweep)
+# ---------------------------------------------------------------------------
+
+def _spread2(v):
+    """Interleave 10-bit lanes with 2 zero bits (JAX uint32)."""
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def sort_keys(cs: ClusterScene, ro, rd):
+    """(N,) uint32 coherence keys: direction octant (3 bits) | origin Morton
+    (15 bits, 5/axis). Rays sharing a key start in the same cell heading the
+    same broad way — exactly what makes a tile's cull masks agree."""
+    octant = (
+        (rd[:, 0] < 0).astype(jnp.uint32) * 4
+        + (rd[:, 1] < 0).astype(jnp.uint32) * 2
+        + (rd[:, 2] < 0).astype(jnp.uint32)
+    )
+    q = jnp.clip(
+        (ro - cs.world_lo) * cs.world_inv_span * 32.0, 0.0, 31.0
+    ).astype(jnp.uint32)
+    m = (
+        (_spread2(q[:, 0]) << 2) | (_spread2(q[:, 1]) << 1) | _spread2(q[:, 2])
+    )
+    return (octant << jnp.uint32(15)) | (m & jnp.uint32(0x7FFF))
+
+
+# ---------------------------------------------------------------------------
+# pure-JAX reference traversal (CPU oracle / differentiation-free)
+# ---------------------------------------------------------------------------
+
+def _slab(bmin, bmax, o, inv_d, t0, t1):
+    """Vector slab test; bmin/bmax (..., 3) against rays (..., 3)."""
+    lo = (bmin - o) * inv_d
+    hi = (bmax - o) * inv_d
+    t_near = jnp.maximum(jnp.max(jnp.minimum(lo, hi), axis=-1), t0)
+    t_far = jnp.minimum(jnp.min(jnp.maximum(lo, hi) * (1.0 + GAMMA2_3), axis=-1), t1)
+    return t_near <= t_far
+
+
+def closest_hit_ref(cs: ClusterScene, ro, rd, t0, t1):
+    """Dense pure-JAX twin of the Pallas cluster kernel.
+
+    Tests every ray against every non-culled cluster with the same math
+    (cull by cluster AABB, then (N, 128) Moeller-Trumbore per cluster).
+    O(N*K) — an oracle, not a fast path. Returns (hit, t, packed_slot)."""
+    k = cs.n_clusters
+    n = ro.shape[0]
+    dtype = ro.dtype
+    inv_d = 1.0 / jnp.where(rd == 0, 1e-20, rd)
+    t1v = jnp.broadcast_to(t1, (n,)).astype(dtype)
+
+    cmin = cs.child_box[:, 0:3]
+    cmax = cs.child_box[:, 3:6]
+    tri = cs.tri.reshape(k, TRI_ROWS, LANE_TRIS)
+
+    def scan_cluster(carry, j):
+        t_best, slot_best = carry
+        keep = _slab(cmin[j], cmax[j], ro, inv_d, t0, jnp.minimum(t_best, t1v))
+        rows = tri[j]
+        v0 = rows[0:3].T[None]                      # (1, 128, 3)
+        e1 = rows[3:6].T[None]
+        e2 = rows[6:9].T[None]
+        d = rd[:, None, :]
+        o = ro[:, None, :]
+        c = jnp.cross(e1, d)                        # (N, 128, 3)
+        det = jnp.sum(c * e2, axis=-1)
+        inv = 1.0 / jnp.where(det == 0, 1.0, det)
+        s = o - v0
+        q = jnp.cross(s, e2)
+        t = -inv * jnp.sum(q * e1, axis=-1)
+        u = -inv * jnp.sum(q * d, axis=-1)
+        v = inv * jnp.sum(c * s, axis=-1)
+        ok = (
+            keep[:, None]
+            & (jnp.abs(det) > 0)
+            & (t > t0)
+            & (t < jnp.minimum(t_best, t1v)[:, None])
+            & (u >= 0) & (u <= 1) & (v >= 0) & (1 - u - v >= 0)
+        )
+        tm = jnp.where(ok, t, MISS_T)
+        t_new = jnp.min(tm, axis=1)
+        lane = jnp.argmin(tm, axis=1).astype(jnp.int32)
+        better = t_new < t_best
+        t_best = jnp.where(better, t_new, t_best)
+        slot_best = jnp.where(better, j * LANE_TRIS + lane, slot_best)
+        return (t_best, slot_best), None
+
+    init = (jnp.full((n,), MISS_T, dtype), jnp.full((n,), -1, jnp.int32))
+    (t_best, slot_best), _ = jax.lax.scan(
+        scan_cluster, init, jnp.arange(k, dtype=jnp.int32)
+    )
+    hit = slot_best >= 0
+    return hit, jnp.where(hit, t_best, 0.0), slot_best
+
+
+def occluded_ref(cs: ClusterScene, ro, rd, t0, t1):
+    """Pure-JAX any-hit twin (CPU fallback): True where something lies in
+    (t0, t1). Closest-hit machinery reused — on the dense oracle path an
+    early-out buys nothing."""
+    hit, _, _ = closest_hit_ref(cs, ro, rd, t0, t1)
+    return hit
+
+
+def slot_to_face(cs: ClusterScene, slot):
+    """Map packed (cluster*128 + lane) slots to original face ids (miss -> 0)."""
+    return jnp.where(slot >= 0, jnp.take(cs.order, jnp.maximum(slot, 0)), 0)

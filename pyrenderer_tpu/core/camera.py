@@ -73,3 +73,38 @@ def generate_rays(camera: Camera, pixel_x, pixel_y, sample_id, seed: int,
     rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
     ro = o_cam @ rot + trans
     return ro, rd
+
+
+def morton_pixel_order(w: int, h: int):
+    """Permutation putting flattened row-major pixels into Morton (Z-curve)
+    order, and its inverse. NumPy, host-side, computed once per resolution.
+
+    Why: the wavefront backends process rays in 128-ray tiles; in row-major
+    order a tile is a 1x128 scanline sliver whose frustum crosses many
+    acceleration-structure nodes, while a Morton tile is a ~12x11 screen
+    block — the cull masks of kernels/pallas_cluster.py agree far more
+    often. Ordering is invisible to the estimator (the RNG is keyed on
+    pixel id, not trace order).
+
+    Returns (perm, inv_perm), both (w*h,) int64 with
+    flat_morton = flat_row_major[perm] and flat_row_major = flat_morton[inv_perm].
+    """
+    import numpy as np
+
+    ys, xs = np.mgrid[0:h, 0:w]
+    xs = xs.reshape(-1).astype(np.uint64)
+    ys = ys.reshape(-1).astype(np.uint64)
+
+    def spread(v):
+        v = (v | (v << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x3333333333333333)
+        v = (v | (v << 1)) & np.uint64(0x5555555555555555)
+        return v
+
+    code = (spread(xs) << np.uint64(1)) | spread(ys)
+    perm = np.argsort(code, kind="stable")
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return perm, inv

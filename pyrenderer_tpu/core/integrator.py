@@ -10,7 +10,10 @@ terminated lanes masked instead of diverging.
 TPU-first details:
 - intersection backends: "pallas" (fused VMEM kernel, default on TPU),
   "matmul" (MXU bilinear-form formulation), "brute" (broadcast VPU,
-  default on CPU / the correctness oracle);
+  default on CPU / the correctness oracle), "watertight" (PBRT shear
+  test, core/watertight.py — no shared-edge leaks), "cluster"/"bvh"
+  (accelerated large-scene structures, auto-selected past
+  AUTO_BRUTE_MAX_TRIS);
 - per-hit shading data comes from ONE (N, 16) gather of a packed per-face
   table (v0|e1|e2|albedo|sign|emissive|sided) — scattered small gathers are
   ~5x slower on TPU;
@@ -74,7 +77,9 @@ def _safe_normalize(v):
 # Largest triangle count routed to the whole-table intersection paths by
 # default. Above it the (9, T) SMEM operand of the fused Pallas kernel (and
 # the O(N*T) work of every brute path) stops being the right tool; auto
-# selection switches to an accelerated backend (bvh — prebuilt on host).
+# selection switches to an accelerated backend — "cluster" (the lockstep
+# supercluster sweep, kernels/pallas_cluster.py) on TPU, "bvh" (stackless
+# escape-pointer traversal) on CPU — prebuilt on host by maybe_build_accel.
 AUTO_BRUTE_MAX_TRIS = 4096
 
 
@@ -83,20 +88,26 @@ def default_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "brute"
 
 
-def resolve_backend(backend: str, n_tris: int, has_bvh: bool) -> str:
+def accel_backend() -> str:
+    """Platform default for scenes past AUTO_BRUTE_MAX_TRIS."""
+    return "cluster" if jax.default_backend() == "tpu" else "bvh"
+
+
+def resolve_backend(backend: str, n_tris: int, accel=None) -> str:
     """Turn "auto" into a concrete backend for a scene of `n_tris` faces.
 
     Small scenes: the fused whole-table kernels win (no divergence,
-    triangles resident on-chip). Large scenes: the BVH traversal when a
-    prebuilt FlatBVH is available (render_image / ProgressiveRenderer build
-    one automatically), else fall back to the whole-table path with a
-    warning-by-docstring (it is correct, just O(T))."""
+    triangles resident on-chip). Large scenes: the accelerated backend
+    matching the prebuilt structure (render_image / ProgressiveRenderer
+    build one automatically via maybe_build_accel), else fall back to the
+    whole-table path (correct, just O(T))."""
     if backend != "auto":
         return backend
-    base = default_backend()
-    if n_tris <= AUTO_BRUTE_MAX_TRIS:
-        return base
-    return "bvh" if has_bvh else base
+    if n_tris <= AUTO_BRUTE_MAX_TRIS or accel is None:
+        return default_backend()
+    from pyrenderer_tpu.accel.clusters import ClusterScene
+
+    return "cluster" if isinstance(accel, ClusterScene) else "bvh"
 
 
 def light_area_pdf(scene: Scene):
@@ -180,8 +191,9 @@ def pack_light_data(scene: Scene, use_emission: bool):
 class TraceTables(object):
     """Per-scene device tables shared across samples/passes of one jit.
 
-    backend "bvh" requires a prebuilt FlatBVH (accel/bvh.py build_lbvh runs
-    on concrete host arrays — topology can't be traced).
+    backends "bvh" / "cluster" require a prebuilt accelerator (accel/bvh.py
+    build_bvh / accel/clusters.py build_clusters run on concrete host
+    arrays — topology can't be traced) passed as `accel`.
 
     backend "custom" (built via TraceTables.custom) routes intersection and
     per-face shading fetches through caller-supplied closures — the hook the
@@ -204,7 +216,7 @@ class TraceTables(object):
         self.backend = "custom"
         self.face_data = face_data
         self.light_data = light_data
-        self.bvh = None
+        self.accel = None
         self.tri_table = None
         self.closest_fn = closest_fn
         self.any_hit_fn = any_hit_fn
@@ -217,29 +229,31 @@ class TraceTables(object):
             return self.fetch_face_fn(tri)
         return lut.fetch_rows(self.face_data, tri)
 
-    def __init__(self, scene: Scene, cfg: RenderConfig, backend: str, bvh=None):
-        backend = resolve_backend(backend, scene.faces.shape[0], bvh is not None)
+    def __init__(self, scene: Scene, cfg: RenderConfig, backend: str, accel=None):
+        backend = resolve_backend(backend, scene.faces.shape[0], accel)
         self.backend = backend
         extended = cfg.estimator != "reference"
         self.face_data = pack_face_data(scene, extended=extended)
         self.light_data = pack_light_data(scene, use_emission=extended)
-        self.bvh = bvh
+        self.accel = accel
         self.tri_table = None
         if backend == "pallas":
             self.tri_table = pk.pack_triangles(sg(scene.vertices), scene.faces)
         elif backend == "matmul":
             self.tri_table = isect.build_tri_matrix(scene)
-        elif backend == "bvh":
-            if bvh is None:
+        elif backend in ("bvh", "cluster"):
+            if accel is None:
                 raise ValueError(
-                    "backend='bvh' needs a prebuilt accel.bvh.build_lbvh(...) "
-                    "passed as TraceTables(..., bvh=...) / render(..., bvh=...)"
+                    f"backend='{backend}' needs a prebuilt accelerator "
+                    "(core.integrator.maybe_build_accel / accel.bvh.build_bvh"
+                    " / accel.clusters.build_clusters) passed as accel=..."
                 )
-            v = sg(scene.vertices)
-            ordered = scene.faces[bvh.order]
-            self.bvh_v0 = v[ordered[:, 0]]
-            self.bvh_e1 = v[ordered[:, 1]] - self.bvh_v0
-            self.bvh_e2 = v[ordered[:, 2]] - self.bvh_v0
+            if backend == "bvh":
+                v = sg(scene.vertices)
+                ordered = scene.faces[accel.order]
+                self.bvh_v0 = v[ordered[:, 0]]
+                self.bvh_e1 = v[ordered[:, 1]] - self.bvh_v0
+                self.bvh_e2 = v[ordered[:, 2]] - self.bvh_v0
 
 
 def _closest(scene, tables, cfg, ro, rd, t1):
@@ -254,9 +268,17 @@ def _closest(scene, tables, cfg, ro, rd, t1):
         from pyrenderer_tpu.accel import bvh as bvh_mod
 
         return bvh_mod.traverse(
-            tables.bvh, tables.bvh_v0, tables.bvh_e1, tables.bvh_e2,
+            tables.accel, tables.bvh_v0, tables.bvh_e1, tables.bvh_e2,
             ro, rd, cfg.t_min, t1,
         )
+    if b == "cluster":
+        from pyrenderer_tpu.kernels import pallas_cluster as pc
+
+        return pc.closest_hit(tables.accel, ro, rd, cfg.t_min, t1)
+    if b == "watertight":
+        from pyrenderer_tpu.core.watertight import intersect_watertight
+
+        return intersect_watertight(scene, ro, rd, cfg.t_min, t1)
     return isect.intersect_brute(scene, ro, rd, cfg.t_min, t1)
 
 
@@ -272,10 +294,18 @@ def _any_hit(scene, tables, cfg, ro, rd, t1):
         from pyrenderer_tpu.accel import bvh as bvh_mod
 
         hit, _, _ = bvh_mod.traverse(
-            tables.bvh, tables.bvh_v0, tables.bvh_e1, tables.bvh_e2,
+            tables.accel, tables.bvh_v0, tables.bvh_e1, tables.bvh_e2,
             ro, rd, cfg.t_min, t1, any_hit=True,
         )
         return hit
+    if b == "cluster":
+        from pyrenderer_tpu.kernels import pallas_cluster as pc
+
+        return pc.occluded(tables.accel, ro, rd, cfg.t_min, t1)
+    if b == "watertight":
+        from pyrenderer_tpu.core.watertight import occluded_watertight
+
+        return occluded_watertight(scene, ro, rd, cfg.t_min, t1)
     return isect.occluded(scene, ro, rd, cfg.t_min, t1)
 
 
@@ -337,7 +367,11 @@ def trace_reference(
         ro, rd, beta, radiance, alive, n_rays = state
         n_rays = n_rays + jnp.sum(alive, dtype=jnp.float32)
 
-        hit, _, tri = _closest(scene, tables, cfg, ro, rd, cfg.t_max)
+        # dead lanes trace with t1 = 0: every result is masked by `alive`
+        # below anyway, and a zero interval lets the accelerated backends
+        # (cluster/bvh) cull their box tests instead of re-walking stale rays
+        t_clip = jnp.where(alive, jnp.asarray(cfg.t_max, dtype), 0.0)
+        hit, _, tri = _closest(scene, tables, cfg, ro, rd, t_clip)
         tri = sg(jnp.maximum(tri, 0))
         hit = sg(hit)
 
@@ -404,7 +438,8 @@ def trace_reference(
         dist_sq = jnp.maximum(_dot(to_light, to_light), 1e-12)
         dist = jnp.sqrt(dist_sq)
         w = to_light / dist[:, None]
-        occ = _any_hit(scene, tables, cfg, sg(p), sg(w), sg(dist) * (1.0 - cfg.shadow_eps))
+        shadow_t1 = jnp.where(alive, sg(dist) * (1.0 - cfg.shadow_eps), 0.0)
+        occ = _any_hit(scene, tables, cfg, sg(p), sg(w), shadow_t1)
         n_rays = n_rays + jnp.sum(alive, dtype=jnp.float32)
         dot1 = _dot(nrm, w)
         dot2 = _dot(n2, -w)
@@ -459,7 +494,7 @@ def render_sample(
     pixel_y,
     tables: TraceTables | None = None,
     backend: str = "auto",
-    bvh=None,
+    accel=None,
 ):
     """Radiance for one sample of a block of pixels. pixel_x/y: (N,) int32."""
     w, _h = camera.resolution
@@ -468,7 +503,7 @@ def render_sample(
     strata = int(math.ceil(math.sqrt(cfg.spp))) if cfg.stratified else 0
     ro, rd = generate_rays(camera, pixel_x, pixel_y, sample_arr, seed, strata=strata)
     if tables is None:
-        tables = TraceTables(scene, cfg, backend, bvh=bvh)
+        tables = TraceTables(scene, cfg, backend, accel=accel)
     if cfg.estimator == "reference":
         return trace_reference(
             scene, cfg, ro, rd, pixel_id, sample_arr, seed, tables=tables
@@ -483,10 +518,10 @@ def render_sample(
 @partial(jax.jit, static_argnames=("cfg", "seed", "spp", "backend"))
 def render_block(
     scene, camera, cfg: RenderConfig, seed: int, spp: int, pixel_x, pixel_y,
-    backend: str = "auto", bvh=None,
+    backend: str = "auto", accel=None,
 ):
     """Mean radiance over `spp` samples for a pixel block — one jitted unit."""
-    tables = TraceTables(scene, cfg, backend, bvh=bvh)
+    tables = TraceTables(scene, cfg, backend, accel=accel)
 
     def one_sample(s):
         return render_sample(
@@ -497,20 +532,33 @@ def render_block(
     return total / spp
 
 
-def maybe_build_bvh(scene: Scene, backend: str, bvh=None):
-    """Host-side BVH auto-build for the entry points (driver, render_image).
+def maybe_build_accel(scene: Scene, backend: str, accel=None):
+    """Host-side accelerator auto-build for the entry points (driver,
+    render_image).
 
-    Builds a FlatBVH when the caller asked for backend="bvh" without one, or
-    when "auto" resolves past AUTO_BRUTE_MAX_TRIS. Must run on concrete
-    (non-traced) scene arrays — call before entering jit."""
-    if bvh is not None:
-        return bvh
+    Builds the structure the backend needs — a ClusterScene for "cluster",
+    a FlatBVH for "bvh", and the platform pick of the two when "auto"
+    resolves past AUTO_BRUTE_MAX_TRIS. Must run on concrete (non-traced)
+    scene arrays — call before entering jit."""
+    if accel is not None:
+        return accel
     n_tris = scene.faces.shape[0]
-    if backend == "bvh" or (backend == "auto" and n_tris > AUTO_BRUTE_MAX_TRIS):
+    if backend == "auto" and n_tris > AUTO_BRUTE_MAX_TRIS:
+        backend = accel_backend()
+    if backend == "cluster":
+        from pyrenderer_tpu.accel.clusters import build_clusters
+
+        return build_clusters(scene.vertices, scene.faces)
+    if backend == "bvh":
         from pyrenderer_tpu.accel.bvh import build_bvh
 
         return build_bvh(scene.vertices, scene.faces)
     return None
+
+
+# back-compat alias (round-1 name; bvh= keeps its meaning for FlatBVH)
+def maybe_build_bvh(scene: Scene, backend: str, bvh=None):
+    return maybe_build_accel(scene, backend, accel=bvh)
 
 
 def render_image(
@@ -519,6 +567,7 @@ def render_image(
     cfg: RenderConfig,
     chunk: int = 1 << 16,
     backend: str = "auto",
+    accel=None,
     bvh=None,
 ):
     """Full-frame mean-radiance HDR image, (H, W, 3), row 0 at the top.
@@ -527,17 +576,26 @@ def render_image(
     render_block. Progressive/accumulating rendering lives in
     render/driver.py — this is the simple whole-frame entry.
     """
-    bvh = maybe_build_bvh(scene, backend, bvh)
+    import numpy as np
+
+    from pyrenderer_tpu.core.camera import morton_pixel_order
+
+    accel = maybe_build_accel(scene, backend, accel if accel is not None else bvh)
     w, h = camera.resolution
-    ys, xs = jnp.mgrid[0:h, 0:w]
-    xs = xs.reshape(-1).astype(jnp.int32)
-    ys = ys.reshape(-1).astype(jnp.int32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    # trace pixels in Morton order: each 128-ray wavefront tile is then a
+    # compact screen block, which is what makes the accelerated backends'
+    # tile-level culls effective (invisible to the estimator — RNG is
+    # keyed on pixel id)
+    perm, inv_perm = morton_pixel_order(w, h)
+    xs = jnp.asarray(xs.reshape(-1)[perm], jnp.int32)
+    ys = jnp.asarray(ys.reshape(-1)[perm], jnp.int32)
     out = []
     for start in range(0, w * h, chunk):
         px = xs[start : start + chunk]
         py = ys[start : start + chunk]
-        out.append(render_block(scene, camera, cfg, cfg.seed, cfg.spp, px, py, backend, bvh))
-    img = jnp.concatenate(out).reshape(h, w, 3)
+        out.append(render_block(scene, camera, cfg, cfg.seed, cfg.spp, px, py, backend, accel))
+    img = jnp.concatenate(out)[inv_perm].reshape(h, w, 3)
     # pixel y counts up from the bottom (taichi GUI convention,
     # main_taichi.py:89); flip so row 0 is the top of the image.
     return img[::-1]

@@ -78,7 +78,9 @@ def trace_pbrt(
         ro, rd, beta, radiance, alive, prev_pdf, prev_spec, n_rays = state
         n_rays = n_rays + jnp.sum(alive, dtype=jnp.float32)
 
-        hit, _, tri = _closest(scene, tables, cfg, ro, rd, cfg.t_max)
+        # dead lanes trace a zero interval — see trace_reference
+        t_clip = jnp.where(alive, jnp.asarray(cfg.t_max, dtype), 0.0)
+        hit, _, tri = _closest(scene, tables, cfg, ro, rd, t_clip)
         tri = sg(jnp.maximum(tri, 0))
         hit = sg(hit)
 
@@ -136,9 +138,10 @@ def trace_pbrt(
         cos_surf = _dot(nrm, wl)
         cos_light = _dot(n2, -wl)
         nee_candidate = alive & is_lambert & (cos_surf > 0) & (cos_light > 0)
-        occ = _any_hit(
-            scene, tables, cfg, sg(p), sg(wl), sg(dist) * (1.0 - cfg.shadow_eps)
+        shadow_t1 = jnp.where(
+            nee_candidate, sg(dist) * (1.0 - cfg.shadow_eps), 0.0
         )
+        occ = _any_hit(scene, tables, cfg, sg(p), sg(wl), shadow_t1)
         n_rays = n_rays + jnp.sum(alive, dtype=jnp.float32)
         pdf_nee_sa = pdf_a * dist_sq / jnp.maximum(cos_light, 1e-6)
         pdf_bsdf_here = bsdf.lambert_pdf(nrm, wl)

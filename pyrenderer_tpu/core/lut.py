@@ -14,8 +14,22 @@ import jax
 import jax.numpy as jnp
 
 
+# Above this row count the one-hot operand's O(N*T) FLOPs/memory overtake
+# the fixed ~4.5 ms gather cost (measured crossover is ~4-8k rows at 1M
+# fetches on v5e); large-scene tables fall back to the hardware gather.
+ONEHOT_MAX_ROWS = 4096
+
+
 def fetch_rows(table, idx):
-    """out[i, :] = table[idx[i], :] via one-hot matmul. table: (T, K), idx: (N,)."""
+    """out[i, :] = table[idx[i], :]. table: (T, K), idx: (N,).
+
+    One-hot matmul for small tables (MXU, exact — the operand is 0/1 so
+    each output is a single unscaled table value), `take` gather for large
+    ones where the (N, T) one-hot would dwarf the gather cost. Both are
+    differentiable w.r.t. the table (gather's cotangent is a scatter-add).
+    """
     t = table.shape[0]
+    if t > ONEHOT_MAX_ROWS:
+        return jnp.take(table, idx, axis=0)
     oh = jax.nn.one_hot(idx, t, dtype=table.dtype)
     return jnp.dot(oh, table, precision=jax.lax.Precision.HIGHEST)

@@ -109,7 +109,8 @@ def watertight_terms(v0, v1, v2, ro, rd):
 
 def intersect_watertight(scene, ro, rd, t0, t1):
     """Closest hit over all triangles with the watertight test.
-    Same contract as core.intersect.intersect_brute."""
+    Same contract as core.intersect.intersect_brute (selectable as
+    backend="watertight" through TraceTables / render_image / the CLI)."""
     v = scene.vertices
     f = scene.faces
     v0, v1, v2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
@@ -123,3 +124,14 @@ def intersect_watertight(scene, ro, rd, t0, t1):
     t_hit = jnp.take_along_axis(t_masked, tri[:, None], axis=1)[:, 0]
     hit = jnp.isfinite(t_hit)
     return hit, jnp.where(hit, t_hit, 0.0), tri
+
+
+def occluded_watertight(scene, ro, rd, t0, t1):
+    """Any-hit twin of intersect_watertight (shadow rays)."""
+    v = scene.vertices
+    f = scene.faces
+    v0, v1, v2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    valid, t = watertight_terms(v0, v1, v2, ro, rd)
+    if jnp.ndim(t1) == 1:
+        t1 = t1[:, None]
+    return jnp.any(valid & (t > t0) & (t < t1), axis=1)

@@ -107,6 +107,9 @@ def train_step(
     parameter grads all-reduce over ICI via the psum transpose.
 
     params: (vertices, albedo, emission); target: (N, 3) radiance.
+    lr: scalar, or a (lr_vertices, lr_albedo, lr_emission) tuple to give
+    each parameter family its own step size (0 freezes it — e.g. albedo-
+    only recovery in examples/invrender.py).
     Returns (loss, new_params).
     """
 
@@ -117,5 +120,6 @@ def train_step(
         return jnp.mean((img - target) ** 2)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
-    new_params = tuple(p - lr * g for p, g in zip(params, grads))
+    lrs = lr if isinstance(lr, tuple) else (lr, lr, lr)
+    new_params = tuple(p - l * g for p, l, g in zip(params, lrs, grads))
     return loss, new_params

@@ -1,0 +1,469 @@
+"""Pallas TPU kernel: lockstep cluster-sweep ray traversal for large scenes.
+
+Companion to accel/clusters.py (see its docstring for the structure). This
+is the TPU-native replacement for a divergent per-ray BVH walk (reference
+mathematics/intersection_taichi.py:256-287): instead of each ray chasing
+node pointers, a TILE of 128 rays sweeps the supercluster list in lockstep.
+
+Layout and control flow are shaped by two measured TPU costs:
+
+  * vector width — every box test keeps RAYS IN LANES, so a slab
+    evaluation is a handful of (1,128) / (S,128) / (16,128) ops at full
+    VPU width (an early draft kept rays in sublanes, making each slab op
+    a (R,1) column that used 1 of 128 lanes — 30x slower end to end);
+  * scalar extraction — moving ONE value from a vector register to the
+    scalar unit (for a branch decision) costs hundreds of cycles on
+    Mosaic. A draft that branched per supercluster and per child spent
+    more time extracting booleans than intersecting. So all box tests run
+    DENSELY up front and the per-box decisions are packed into a few int32
+    BITMASKS (one extraction per 32 boxes); the sequential sweep then pays
+    ~2 scalar ALU ops per skipped box.
+
+Per 128-ray tile:
+  1. dense prepass: slab-test all S superclusters at once ((S_pad,128),
+     boxes in sublanes, rays in lanes), reduce over rays, pack visit bits
+     into ceil(S/32) int32 scalars;
+  2. sweep superclusters in front-to-back order (sorted outside the kernel
+     by box distance from the wavefront's mean origin; order in SMEM):
+     skipped boxes cost a scalar bit test;
+  3. a visited supercluster slab-tests its 16 child clusters (16,128),
+     bounded by each ray's running t — packs ONE bitmask — and each
+     flagged child runs a dense (128 rays x 128 tris) Moeller-Trumbore at
+     full width: rays in SUBLANES here (column forms precomputed outside
+     the kernel — no in-kernel transposes), triangles in lanes straight
+     from the packed table.
+
+Closest-hit feedback: per-ray best t lives in column form for the leaf
+accept test, and a SCALAR cap (max over the tile of min(t_best, t1))
+bridges into the lane-space child culls — with front-to-back order this
+prunes like a BVH's ordered traversal. The any-hit kernel instead retires
+rays as they occlude (column space) and breaks out of the sweep once the
+whole tile is decided.
+
+The whole clustered scene is VMEM-resident (tri table (K*16, 128) f32 —
+8 KB per 128 triangles plus ~0.5 KB of boxes, ~180k triangles in a 12 MB
+budget), so traversal does zero HBM traffic beyond the ray tiles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyrenderer_tpu.accel.clusters import (
+    GAMMA2_3,
+    GROUP,
+    LANE_TRIS,
+    MISS_T,
+    TRI_ROWS,
+    ClusterScene,
+    slot_to_face,
+    sort_keys,
+)
+
+RAY_TILE = 128  # rays per grid step = VPU lane width
+
+# MISS_T with the low 7 mantissa bits cleared — the closest kernel tracks
+# t_best in this "masked" domain (see the key-packed leaf reduction), so
+# the all-miss initial value must live there too or a full-miss leaf would
+# compare as an improvement.
+MISS_T_MASKED = float(
+    __import__("numpy").int32(
+        __import__("numpy").float32(MISS_T).view(__import__("numpy").int32)
+        & ~__import__("numpy").int32(127)
+    ).view(__import__("numpy").float32)
+)
+
+
+def _ray_planes(rays_ref):
+    """Split the (8, 128) lane-form ray block into (1, 128) component rows."""
+    r = rays_ref[...]
+    o = (r[0:1, :], r[1:2, :], r[2:3, :])
+    d = (r[3:4, :], r[4:5, :], r[5:6, :])
+    t1 = r[6:7, :]
+    inv = tuple(1.0 / jnp.where(c == 0, 1e-20, c) for c in d)
+    return o, d, inv, t1
+
+
+def _box_slab(blk, o, inv, t0, t_lim):
+    """(B, 128) slab test: boxes in sublanes (cols 0..5 = min|max), rays in
+    lanes. Returns the (B, 128) crossing mask."""
+    lox = (blk[:, 0:1] - o[0]) * inv[0]
+    loy = (blk[:, 1:2] - o[1]) * inv[1]
+    loz = (blk[:, 2:3] - o[2]) * inv[2]
+    hix = (blk[:, 3:4] - o[0]) * inv[0]
+    hiy = (blk[:, 4:5] - o[1]) * inv[1]
+    hiz = (blk[:, 5:6] - o[2]) * inv[2]
+    t_near = jnp.maximum(
+        jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
+        jnp.maximum(jnp.minimum(loz, hiz), t0),
+    )
+    t_far = jnp.minimum(
+        jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
+        jnp.maximum(loz, hiz),
+    ) * jnp.float32(1.0 + GAMMA2_3)
+    return t_near <= jnp.minimum(t_far, t_lim)
+
+
+def _pack_bits(mask, bitw, n_groups):
+    """(B, 128) bool -> list of n_groups int32 scalars; bit (b % 32) of
+    group (b // 32) is set when row b crosses for ANY ray. One scalar
+    extraction per 32 boxes instead of one per box."""
+    crossed = jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True) > 0
+    bits = jnp.where(crossed, bitw, 0)                    # (B, 1)
+    b = bits.shape[0]
+    grp = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0) // 32
+    return [jnp.sum(jnp.where(grp == g, bits, 0)) for g in range(n_groups)]
+
+
+def _select_group(masks, g):
+    """Scalar select masks[g] for a traced g (masks: python list)."""
+    out = masks[0]
+    for i in range(1, len(masks)):
+        out = jnp.where(g == i, masks[i], out)
+    return out
+
+
+def _child_bits(child_ref, s, o, inv, t0, t_lim, bitw16):
+    """One int32 scalar with bit c set when child cluster c of supercluster
+    s crosses any ray (bounded by t_lim)."""
+    blk = child_ref[pl.ds(s * GROUP, GROUP), :]           # (GROUP, 128)
+    cmask = _box_slab(blk, o, inv, t0, t_lim)
+    crossed = jnp.sum(cmask.astype(jnp.int32), axis=1, keepdims=True) > 0
+    return jnp.sum(jnp.where(crossed, bitw16, 0))
+
+
+def _leaf_mt(tri_ref, j, oc, dc, t0, t_lim_col):
+    """(128 rays, 128 tris) Moeller-Trumbore for cluster j.
+
+    oc/dc: (128, 1) ray-component columns; t_lim_col (128, 1).
+    Returns tm (128, 128): accepted t values with MISS_T fills.
+    """
+    blk = tri_ref[pl.ds(j * TRI_ROWS, TRI_ROWS), :]       # (16, 128)
+    v0x, v0y, v0z = blk[0:1, :], blk[1:2, :], blk[2:3, :]
+    e1x, e1y, e1z = blk[3:4, :], blk[4:5, :], blk[5:6, :]
+    e2x, e2y, e2z = blk[6:7, :], blk[7:8, :], blk[8:9, :]
+    ox, oy, oz = oc
+    dx, dy, dz = dc
+
+    cx = e1y * dz - e1z * dy                              # (128, 128)
+    cy = e1z * dx - e1x * dz
+    cz = e1x * dy - e1y * dx
+    det = cx * e2x + cy * e2y + cz * e2z
+    inv = 1.0 / jnp.where(det == 0, 1.0, det)
+    sx = ox - v0x
+    sy = oy - v0y
+    sz = oz - v0z
+    qx = sy * e2z - sz * e2y
+    qy = sz * e2x - sx * e2z
+    qz = sx * e2y - sy * e2x
+    t = -inv * (qx * e1x + qy * e1y + qz * e1z)
+    u = -inv * (qx * dx + qy * dy + qz * dz)
+    v = inv * (cx * sx + cy * sy + cz * sz)
+    ok = (
+        (jnp.abs(det) > 0)
+        & (t > t0)
+        & (t < t_lim_col)
+        & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (1.0 - u - v >= 0.0)
+    )
+    return jnp.where(ok, t, MISS_T)
+
+
+def _bitw16():
+    return jnp.left_shift(
+        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
+    )
+
+
+def _closest_kernel(n_super, t0, order_smem, rays_ref, rcol_ref, super_ref,
+                    bitw_ref, child_ref, tri_ref, t_out, slot_out):
+    o, d, inv, t1 = _ray_planes(rays_ref)
+    rcol = rcol_ref[...]                                  # (128, 8)
+    oc = (rcol[:, 0:1], rcol[:, 1:2], rcol[:, 2:3])
+    dc = (rcol[:, 3:4], rcol[:, 4:5], rcol[:, 5:6])
+    t1c = rcol[:, 6:7]
+    bitw16 = _bitw16()
+
+    # dense prepass over every supercluster box (t1-bounded; the running
+    # t_cap refines pruning at child level during the sweep)
+    s_pad = super_ref.shape[0]
+    n_groups = s_pad // 32
+    smask = _box_slab(super_ref[...], o, inv, t0, t1)
+    sc_bits = _pack_bits(smask, bitw_ref[...], n_groups)
+
+    def leaf(j, t_best, slot_best):
+        tm = _leaf_mt(tri_ref, j, oc, dc, t0, jnp.minimum(t_best, t1c))
+        # ONE cross-lane reduction instead of min+argmin: t is positive, so
+        # its f32 bits order like the float; steal the mantissa's low 7
+        # bits for the winning lane (t loses <= 2^-17 relative precision —
+        # the integrator re-derives exact t from the hit triangle anyway)
+        key = jnp.bitwise_or(
+            jnp.bitwise_and(
+                jax.lax.bitcast_convert_type(tm, jnp.int32), ~jnp.int32(127)
+            ),
+            jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1),
+        )
+        kmin = jnp.min(key, axis=1, keepdims=True)        # (128, 1)
+        t_new = jax.lax.bitcast_convert_type(
+            jnp.bitwise_and(kmin, ~jnp.int32(127)), jnp.float32
+        )
+        lane = jnp.bitwise_and(kmin, 127)
+        better = t_new < t_best
+        t_best = jnp.where(better, t_new, t_best)
+        slot_best = jnp.where(better, j * LANE_TRIS + lane, slot_best)
+        return t_best, slot_best
+
+    def super_body(i, carry):
+        t_best, slot_best, t_cap = carry
+        s = order_smem[i]
+        sbit = (_select_group(sc_bits, s // 32) >> (s % 32)) & 1
+
+        def visit(carry):
+            t_best, slot_best, t_cap = carry
+            cbits = _child_bits(
+                child_ref, s, o, inv, t0, jnp.minimum(t1, t_cap), bitw16
+            )
+
+            for c in range(GROUP):  # static unroll, scalar bit tests
+                t_best, slot_best = jax.lax.cond(
+                    (cbits >> c) & 1 > 0,
+                    lambda tb_sb, c=c: leaf(s * GROUP + c, *tb_sb),
+                    lambda tb_sb: tb_sb,
+                    (t_best, slot_best),
+                )
+            t_cap = jnp.max(jnp.minimum(t_best, t1c))
+            return t_best, slot_best, t_cap
+
+        return jax.lax.cond(sbit > 0, visit, lambda cr: cr,
+                            (t_best, slot_best, t_cap))
+
+    init = (
+        jnp.full((RAY_TILE, 1), MISS_T_MASKED, jnp.float32),
+        jnp.full((RAY_TILE, 1), -1, jnp.int32),
+        jnp.float32(MISS_T),
+    )
+    t_best, slot_best, _ = jax.lax.fori_loop(0, n_super, super_body, init)
+    t_out[...] = t_best
+    slot_out[...] = slot_best
+
+
+def _anyhit_kernel(n_super, t0, order_smem, rays_ref, rcol_ref, super_ref,
+                   bitw_ref, child_ref, tri_ref, occ_out):
+    o, d, inv, t1 = _ray_planes(rays_ref)
+    rcol = rcol_ref[...]
+    oc = (rcol[:, 0:1], rcol[:, 1:2], rcol[:, 2:3])
+    dc = (rcol[:, 3:4], rcol[:, 4:5], rcol[:, 5:6])
+    t1c = rcol[:, 6:7]
+    bitw16 = _bitw16()
+
+    s_pad = super_ref.shape[0]
+    n_groups = s_pad // 32
+    smask = _box_slab(super_ref[...], o, inv, t0, t1)
+    sc_bits = _pack_bits(smask, bitw_ref[...], n_groups)
+
+    def body(carry):
+        i, occ, undecided = carry
+        s = order_smem[i]
+        sbit = (_select_group(sc_bits, s // 32) >> (s % 32)) & 1
+
+        def visit(carry):
+            # occ lives in column form (the leaf's output space); box culls
+            # stay t1-bounded and the tile-level early break (undecided)
+            # bridges through a scalar RE-EXTRACTED ONLY HERE — occ can only
+            # change under a visit, and a vector->scalar move per while
+            # iteration would dominate the sweep
+            occ, _ = carry
+            cbits = _child_bits(child_ref, s, o, inv, t0, t1, bitw16)
+
+            def hit_leaf(occ, c):
+                tm = _leaf_mt(tri_ref, s * GROUP + c, oc, dc, t0,
+                              jnp.where(occ > 0, t0, t1c))
+                any_hit = jnp.sum(
+                    (tm < MISS_T).astype(jnp.int32), axis=1, keepdims=True
+                )
+                return jnp.maximum(occ, (any_hit > 0).astype(jnp.int32))
+
+            for c in range(GROUP):  # static unroll (see closest kernel)
+                occ = jax.lax.cond((cbits >> c) & 1 > 0,
+                                   lambda oc_, c=c: hit_leaf(oc_, c),
+                                   lambda oc_: oc_, occ)
+            return occ, RAY_TILE - jnp.sum(occ)
+
+        occ, undecided = jax.lax.cond(sbit > 0, visit, lambda cr: cr,
+                                      (occ, undecided))
+        return i + 1, occ, undecided
+
+    def cond(carry):
+        i, _occ, undecided = carry
+        return (i < n_super) & (undecided > 0)
+
+    init = (jnp.int32(0), jnp.zeros((RAY_TILE, 1), jnp.int32),
+            jnp.int32(RAY_TILE))
+    _, occ, _ = jax.lax.while_loop(cond, body, init)
+    occ_out[...] = occ
+
+
+def _sc_order(cs: ClusterScene, ro):
+    """Front-to-back supercluster order for this wavefront: sort boxes by
+    distance of their center from the mean ray origin. Exact for primary
+    rays (shared origin); a good heuristic for sorted bounce wavefronts.
+    The order feeds the kernel through SMEM — tables are never shuffled."""
+    centers = 0.5 * (cs.super_box[0:3] + cs.super_box[3:6])   # (3, S)
+    mean_o = jnp.mean(ro, axis=0)
+    d2 = jnp.sum((centers - mean_o[:, None]) ** 2, axis=0)
+    return jnp.argsort(d2).astype(jnp.int32)
+
+
+def _pack_rays(ro, rd, t1v):
+    """-> (rays_lane (nt*8, 128), rays_col (N, 8)) f32, N a 128-multiple."""
+    n = ro.shape[0]
+    cols = jnp.concatenate(
+        [ro.astype(jnp.float32), rd.astype(jnp.float32),
+         t1v[:, None].astype(jnp.float32), jnp.zeros((n, 1), jnp.float32)],
+        axis=1,
+    )                                                     # (N, 8)
+    nt = n // RAY_TILE
+    lane = cols.reshape(nt, RAY_TILE, 8).transpose(0, 2, 1).reshape(nt * 8,
+                                                                    RAY_TILE)
+    return lane, cols
+
+
+_COMMON_IN_SPECS = [
+    pl.BlockSpec(memory_space=pltpu.SMEM),                # sc order (S,)
+    pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+                 memory_space=pltpu.VMEM),                # rays lane-form
+    pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0),
+                 memory_space=pltpu.VMEM),                # rays col-form
+    pl.BlockSpec(memory_space=pltpu.VMEM),                # super box rows
+    pl.BlockSpec(memory_space=pltpu.VMEM),                # bit weights
+    pl.BlockSpec(memory_space=pltpu.VMEM),                # child boxes
+    pl.BlockSpec(memory_space=pltpu.VMEM),                # tri table
+]
+
+
+@partial(jax.jit, static_argnames=("t0", "interpret"))
+def _sweep(cs: ClusterScene, rays_lane, rays_col, order, t0, interpret=False):
+    n = rays_col.shape[0]
+    grid = (n // RAY_TILE,)
+    t, slot = pl.pallas_call(
+        partial(_closest_kernel, cs.n_superclusters, t0),
+        grid=grid,
+        in_specs=_COMMON_IN_SPECS,
+        out_specs=[
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(order, rays_lane, rays_col, cs.super_cols, cs.bitw, cs.child_box, cs.tri)
+    return t[:, 0], slot[:, 0]
+
+
+@partial(jax.jit, static_argnames=("t0", "interpret"))
+def _sweep_any(cs: ClusterScene, rays_lane, rays_col, order, t0,
+               interpret=False):
+    n = rays_col.shape[0]
+    grid = (n // RAY_TILE,)
+    occ = pl.pallas_call(
+        partial(_anyhit_kernel, cs.n_superclusters, t0),
+        grid=grid,
+        in_specs=_COMMON_IN_SPECS,
+        out_specs=pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        interpret=interpret,
+    )(order, rays_lane, rays_col, cs.super_cols, cs.bitw, cs.child_box, cs.tri)
+    return occ[:, 0] > 0
+
+
+def _prepare(cs, ro, rd, t1, sort):
+    n = ro.shape[0]
+    t1v = jnp.broadcast_to(t1, (n,)).astype(jnp.float32)
+    if sort:
+        perm = jnp.argsort(sort_keys(cs, ro, rd))
+        ro, rd, t1v = ro[perm], rd[perm], t1v[perm]
+    else:
+        perm = None
+    pad = (-n) % RAY_TILE
+    if pad:
+        # padding rays: degenerate direction handled by the where() in
+        # _ray_planes; t1 = 0 culls every box
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3), ro.dtype)])
+        rd = jnp.concatenate(
+            [rd, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], rd.dtype), (pad, 1))]
+        )
+        t1v = jnp.concatenate([t1v, jnp.zeros((pad,), jnp.float32)])
+    lane, cols = _pack_rays(ro, rd, t1v)
+    return lane, cols, perm, n
+
+
+def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
+                interpret=False):
+    """Wavefront closest hit. ro, rd (N, 3); t1 scalar or (N,).
+
+    Returns (hit (N,) bool, t (N,) f32, face (N,) i32 original ids) — the
+    same contract as the other backends, except t carries <= 2^-17
+    relative rounding (the kernel packs t and the winning lane into one
+    int32 so each leaf costs a single cross-lane reduction; consumers that
+    need exact t re-derive it from the returned face, as the integrator
+    does). Optional coherence sort
+    (direction octant + origin Morton cell) helps incoherent wavefronts;
+    primary rays arrive pixel-ordered and are best left unsorted.
+
+    The selection is discrete — callers re-evaluate hit geometry
+    differentiably (the integrator does), so inputs are detached here:
+    pallas_call has no autodiff rule and bounce rays carry tangents.
+
+    Off-TPU (and not explicitly interpreting the kernel) this routes to
+    the dense pure-JAX twin accel/clusters.closest_hit_ref — same results,
+    no per-tile interpreted grid.
+    """
+    ro, rd, t1 = jax.lax.stop_gradient((ro, rd, t1))
+    if not interpret and jax.default_backend() != "tpu":
+        from pyrenderer_tpu.accel.clusters import closest_hit_ref
+
+        hit, t, slot = closest_hit_ref(cs, ro, rd, t0, t1)
+        return hit, t, slot_to_face(cs, slot).astype(jnp.int32)
+    lane, cols, perm, n = _prepare(cs, ro, rd, t1, sort)
+    order = _sc_order(cs, ro[:n] if perm is None else ro)
+    t, slot = _sweep(cs, lane, cols, order, float(t0), interpret=interpret)
+    t, slot = t[:n], slot[:n]
+    if perm is not None:
+        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))
+        t, slot = t[inv], slot[inv]
+    hit = slot >= 0
+    face = slot_to_face(cs, slot)
+    return hit, jnp.where(hit, t, 0.0), face.astype(jnp.int32)
+
+
+def occluded(cs: ClusterScene, ro, rd, t0, t1, sort=False, interpret=False):
+    """Any-hit shadow query: True where some triangle lies in (t0, t1).
+
+    Dedicated kernel: rays retire as soon as anything occludes them and a
+    tile breaks out of the sweep once every ray is decided — shadow rays
+    are the cheapest queries, exactly as in a classic BVH renderer.
+    Inputs detached and off-TPU routed to the pure-JAX twin (see
+    closest_hit).
+    """
+    ro, rd, t1 = jax.lax.stop_gradient((ro, rd, t1))
+    if not interpret and jax.default_backend() != "tpu":
+        from pyrenderer_tpu.accel.clusters import occluded_ref
+
+        return occluded_ref(cs, ro, rd, t0, t1)
+    lane, cols, perm, n = _prepare(cs, ro, rd, t1, sort)
+    order = _sc_order(cs, ro[:n] if perm is None else ro)
+    occ = _sweep_any(cs, lane, cols, order, float(t0), interpret=interpret)
+    occ = occ[:n]
+    if perm is not None:
+        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))
+        occ = occ[inv]
+    return occ

@@ -212,9 +212,12 @@ def closest_hit(tri_table, ro, rd, t0, t1, interpret=False):
 
     Returns (hit (N,) bool, t (N,) f32, tri (N,) int32) matching
     core/intersect.py's contract. The selection is discrete — callers
-    re-evaluate hit geometry differentiably (integrator does this), so this
-    function is wrapped in stop_gradient by design.
+    re-evaluate hit geometry differentiably (integrator does this), so the
+    inputs are detached here: pallas_call has no autodiff rule, and without
+    the stop_gradient a grad through the integrator would fail as soon as
+    bounce>0 rays (which carry tangents) reach the kernel.
     """
+    ro, rd, t1 = jax.lax.stop_gradient((ro, rd, t1))
     (planes, n, m) = _split_rays(ro, rd)
     if jnp.ndim(t1) == 0:
         t1p = jnp.full((m, LANES), t1, jnp.float32)
@@ -231,7 +234,9 @@ def closest_hit(tri_table, ro, rd, t0, t1, interpret=False):
 
 
 def occluded(tri_table, ro, rd, t0, t1, interpret=False):
-    """Any-hit shadow query (t1 per-ray or scalar) — no closest-hit argmin."""
+    """Any-hit shadow query (t1 per-ray or scalar) — no closest-hit argmin.
+    Inputs detached (see closest_hit)."""
+    ro, rd, t1 = jax.lax.stop_gradient((ro, rd, t1))
     (planes, n, m) = _split_rays(ro, rd)
     if jnp.ndim(t1) == 0:
         t1p = jnp.full((m, LANES), t1, jnp.float32)

@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hdr-out", help="output EXR/NPY path")
     p.add_argument(
         "--backend",
-        choices=["auto", "pallas", "matmul", "brute", "bvh"],
+        choices=["auto", "pallas", "matmul", "brute", "bvh", "cluster", "watertight"],
         default="auto",
         help="intersection backend (auto selects by platform and triangle count)",
     )

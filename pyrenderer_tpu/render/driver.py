@@ -23,7 +23,8 @@ import numpy as np
 
 from pyrenderer_tpu.config import RenderConfig
 from pyrenderer_tpu.core.film import Film
-from pyrenderer_tpu.core.integrator import TraceTables, maybe_build_bvh, render_sample
+from pyrenderer_tpu.core.camera import morton_pixel_order
+from pyrenderer_tpu.core.integrator import TraceTables, maybe_build_accel, render_sample
 from pyrenderer_tpu.core.tonemap import tonemap
 from pyrenderer_tpu.scene.types import Camera, Scene
 from pyrenderer_tpu.utils.image_io import write_hdr, write_png
@@ -31,9 +32,9 @@ from pyrenderer_tpu.utils.image_io import write_hdr, write_png
 
 @partial(jax.jit, static_argnames=("cfg", "backend", "n_samples"))
 def _render_pass(scene, camera, cfg: RenderConfig, first_sample, n_samples: int,
-                 pixel_x, pixel_y, backend: str = "auto", bvh=None):
+                 pixel_x, pixel_y, backend: str = "auto", accel=None):
     """(sum, sum-of-squares) of `n_samples` sample radiances per pixel."""
-    tables = TraceTables(scene, cfg, backend, bvh=bvh)
+    tables = TraceTables(scene, cfg, backend, accel=accel)
 
     def one(carry, s):
         total, sq = carry
@@ -52,9 +53,9 @@ def _render_pass(scene, camera, cfg: RenderConfig, first_sample, n_samples: int,
 
 @partial(jax.jit, static_argnames=("cfg", "backend"))
 def _render_pass_ids(scene, camera, cfg: RenderConfig, sample_ids,
-                     pixel_x, pixel_y, backend: str = "auto", bvh=None):
+                     pixel_x, pixel_y, backend: str = "auto", accel=None):
     """One sample per pixel with PER-PIXEL sample ids (adaptive passes)."""
-    tables = TraceTables(scene, cfg, backend, bvh=bvh)
+    tables = TraceTables(scene, cfg, backend, accel=accel)
     r = render_sample(
         scene, camera, cfg, cfg.seed, sample_ids, pixel_x, pixel_y, tables=tables
     )
@@ -72,7 +73,7 @@ class ProgressiveRenderer:
         cfg: RenderConfig,
         backend: str = "auto",
         film: Optional[Film] = None,
-        bvh=None,
+        accel=None,
         chunk: int = 1 << 18,
         report_interval: int = 10,
         on_pass: Optional[Callable[["ProgressiveRenderer"], None]] = None,
@@ -83,9 +84,9 @@ class ProgressiveRenderer:
         self.camera = camera
         self.cfg = cfg
         self.backend = backend
-        # auto-build the accelerator for large scenes / explicit bvh backend
-        # (host-side; scene arrays are concrete here)
-        self.bvh = maybe_build_bvh(scene, backend, bvh)
+        # auto-build the accelerator for large scenes / explicit bvh or
+        # cluster backend (host-side; scene arrays are concrete here)
+        self.accel = maybe_build_accel(scene, backend, accel)
         self.chunk = chunk
         self.report_interval = report_interval
         self.on_pass = on_pass
@@ -98,8 +99,12 @@ class ProgressiveRenderer:
         ys, xs = np.mgrid[0:h, 0:w]
         self._px_np = xs.reshape(-1).astype(np.int32)
         self._py_np = ys.reshape(-1).astype(np.int32)
-        self._px = jnp.asarray(self._px_np)
-        self._py = jnp.asarray(self._py_np)
+        # trace in Morton order so wavefront tiles are compact screen
+        # blocks (core/camera.py morton_pixel_order); results unpermuted in
+        # render_one_pass before landing on the film
+        self._perm, self._inv_perm = morton_pixel_order(w, h)
+        self._px = jnp.asarray(self._px_np[self._perm])
+        self._py = jnp.asarray(self._py_np[self._perm])
 
     def render_one_pass(self) -> None:
         """One uniform spp_step pass over all pixels."""
@@ -111,12 +116,12 @@ class ProgressiveRenderer:
             s, q = _render_pass(
                 self.scene, self.camera, self.cfg,
                 jnp.uint32(self.film.next_sample), step,
-                self._px[sl], self._py[sl], self.backend, self.bvh,
+                self._px[sl], self._py[sl], self.backend, self.accel,
             )
             sums.append(s)
             sqs.append(q)
-        img = np.asarray(jnp.concatenate(sums).reshape(h, w, 3)[::-1])
-        sq = np.asarray(jnp.concatenate(sqs).reshape(h, w, 3)[::-1])
+        img = np.asarray(jnp.concatenate(sums))[self._inv_perm].reshape(h, w, 3)[::-1]
+        sq = np.asarray(jnp.concatenate(sqs))[self._inv_perm].reshape(h, w, 3)[::-1]
         self.film.add_pass(img, sq, step)
 
     def refine_adaptive(self, quiet: bool = False) -> int:
@@ -148,7 +153,7 @@ class ProgressiveRenderer:
             sample_ids = jnp.pad(sample_ids, (0, pad), mode="edge")
             r, q = _render_pass_ids(
                 self.scene, self.camera, self.cfg, sample_ids, px, py,
-                self.backend, self.bvh,
+                self.backend, self.accel,
             )
             self.film.add_pixels(rows, cols, np.asarray(r)[:k], np.asarray(q)[:k])
         if not quiet:

@@ -73,13 +73,19 @@ def build_scene(
             builder.add_cube(trans, mat_id)
         elif ptype == "sphere":
             builder.add_sphere(trans, mat_id, int(info.get("subdivisions", 3)))
-        else:  # "mesh": .obj file, path relative to the scene json
-            from pyrenderer_tpu.scene.obj import load_obj
+        else:  # "mesh": .obj file (path relative to the scene json), or
+            # in-memory "vertices"/"faces" arrays (procedural scenes,
+            # scene/procgen.py big_scene_data)
+            if "vertices" in info:
+                verts = np.asarray(info["vertices"], np.float64)
+                faces = np.asarray(info["faces"], np.int32)
+            else:
+                from pyrenderer_tpu.scene.obj import load_obj
 
-            obj_path = info["file"]
-            if base_dir is not None and not os.path.isabs(obj_path):
-                obj_path = os.path.join(base_dir, obj_path)
-            verts, faces = load_obj(obj_path)
+                obj_path = info["file"]
+                if base_dir is not None and not os.path.isabs(obj_path):
+                    obj_path = os.path.join(base_dir, obj_path)
+                verts, faces = load_obj(obj_path)
             builder.add_mesh(verts, faces, mat_id, normal_sign=1.0, transform=trans)
 
     scene = builder.finish(dtype=dtype)

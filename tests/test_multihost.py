@@ -1,0 +1,103 @@
+"""Multi-process (multi-"host") execution tests.
+
+Spawns REAL separate OS processes, each with 4 virtual CPU devices, joined
+by jax.distributed over localhost — the functional stand-in for a
+multi-host TPU slice (ICI within a process's devices, gloo standing in for
+DCN between processes). Checks:
+
+  1. the 2-process x 4-device assembled image matches a plain
+     single-process render of the same config (the parity check VERDICT r1
+     asked for);
+  2. both processes agree on the image statistic (the allgather really is
+     global).
+
+The reference's only cross-process machinery was joblib with pickled
+scenes (reference main.py:51-55); there was nothing to test against more
+than one host. These tests are the framework's own.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORNELL = os.path.join(REPO, "tests", "data", "cornell_box.json")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_workers(n_proc, cpu_devices, out_path, res=32, spp=2, depth=2, sp=1):
+    port = _free_port()
+    procs = []
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker sets platform itself
+    for pid in range(n_proc):
+        cmd = [
+            sys.executable, "-m", "pyrenderer_tpu.dist.worker", CORNELL,
+            "--coordinator", f"localhost:{port}",
+            "--num-processes", str(n_proc),
+            "--process-id", str(pid),
+            "--cpu-devices", str(cpu_devices),
+            "--res", str(res), "--spp", str(spp), "--depth", str(depth),
+            "--sp", str(sp),
+        ]
+        if pid == 0 and out_path:
+            cmd += ["--out", out_path]
+        procs.append(
+            subprocess.Popen(
+                cmd, cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\nSTDOUT:{out}\nSTDERR:{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert line, f"no RESULT line:\n{out}\n{err[-2000:]}"
+        results.append(json.loads(line[-1][len("RESULT "):]))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_render_matches_single_process(tmp_path):
+    out2 = str(tmp_path / "mh2.npy")
+    res2 = _spawn_workers(2, 4, out2)
+    assert all(r["multi"] for r in res2)
+    assert all(r["num_processes"] == 2 for r in res2)
+    assert all(r["global_devices"] == 8 for r in res2)
+    # every process saw the same assembled frame
+    assert abs(res2[0]["image_mean"] - res2[1]["image_mean"]) < 1e-6
+
+    # single-process reference of the same config (1 proc, 4 devices)
+    out1 = str(tmp_path / "mh1.npy")
+    res1 = _spawn_workers(1, 4, out1)
+    assert res1[0]["num_processes"] == 1
+
+    img2 = np.load(out2)
+    img1 = np.load(out1)
+    assert img2.shape == img1.shape == (32, 32, 3)
+    np.testing.assert_allclose(img2, img1, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_two_process_spp_sharding(tmp_path):
+    """dp x sp global mesh across processes: spp shards over sp (the psum
+    crosses the process boundary), image still matches single-process."""
+    out = str(tmp_path / "mh_sp.npy")
+    res = _spawn_workers(2, 4, out, sp=2, spp=4)
+    assert all(r["global_devices"] == 8 for r in res)
+    out1 = str(tmp_path / "mh_sp1.npy")
+    _spawn_workers(1, 4, out1, sp=2, spp=4)
+    np.testing.assert_allclose(np.load(out), np.load(out1), rtol=2e-5, atol=2e-6)

@@ -81,3 +81,85 @@ def test_watertight_no_edge_leak():
     hit, t, _ = intersect_watertight(scene, ro, rd, 1e-5, 1e5)
     assert bool(jnp.all(hit)), "watertight test leaked a shared-edge ray"
     np.testing.assert_allclose(np.asarray(t), 1.0, rtol=1e-5)
+
+
+def test_watertight_backend_render_matches_brute(cornell_path):
+    """backend="watertight" is a first-class product path: a full render
+    through the public API agrees with brute (away-from-edge pixels are
+    identical; edge pixels may legitimately differ by the leak fix)."""
+    from pyrenderer_tpu.config import RenderConfig
+    from pyrenderer_tpu.core.integrator import render_image
+
+    scene, camera, _ = load_tungsten(cornell_path, dtype=np.float32)
+    scene = jax.tree.map(jnp.asarray, scene)
+    camera = camera._replace(resolution=(32, 32))
+    cfg = RenderConfig(max_bounces=3, spp=2, seed=0, estimator="reference")
+    img_w = np.asarray(render_image(scene, camera, cfg, backend="watertight"))
+    img_b = np.asarray(render_image(scene, camera, cfg, backend="brute"))
+    assert np.isfinite(img_w).all()
+    close = np.isclose(img_w, img_b, rtol=1e-3, atol=1e-4).mean()
+    assert close > 0.98
+
+
+def test_watertight_occluded_matches_brute(scene):
+    from pyrenderer_tpu.core.watertight import occluded_watertight
+
+    rs = np.random.RandomState(3)
+    ro = jnp.asarray(rs.uniform(-0.9, 0.9, (512, 3)) + [0, 1, 0], jnp.float32)
+    rd = rs.normal(size=(512, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd)
+    for t1 in (0.5, 2.0):
+        a = np.asarray(occluded_watertight(scene, ro, rd, 1e-5, t1))
+        b = np.asarray(isect.occluded(scene, ro, rd, 1e-5, t1))
+        assert (a == b).mean() > 0.995
+
+
+def test_wavefront_shared_edge_no_leak():
+    """Wavefront-scale leak hunt: thousands of rays aimed EXACTLY at points
+    on the shared diagonal of a quad's two triangles. The watertight test
+    must hit every one (the guarantee the module exists for); plain
+    Moeller-Trumbore with its one-sided det test typically leaks a few.
+
+    Reference: mathematics/intersection_taichi.py:94-161 is the watertight
+    variant precisely because shapes are quads split into triangle pairs.
+    """
+    from pyrenderer_tpu.scene.types import Scene
+
+    # unit quad in the z=0 plane split along the (0,0)-(1,1) diagonal
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    n_mat = 1
+    scene = Scene(
+        vertices=jnp.asarray(verts),
+        faces=jnp.asarray(faces),
+        face_material=jnp.zeros(2, jnp.int32),
+        normal_sign=jnp.ones(2, jnp.float32),
+        albedo=jnp.ones((n_mat, 3), jnp.float32) * 0.5,
+        emission=jnp.zeros((n_mat, 3), jnp.float32),
+        emissive=jnp.zeros(n_mat, jnp.float32),
+        sided=jnp.zeros(n_mat, jnp.float32),
+        mat_type=jnp.zeros(n_mat, jnp.int32),
+        ior=jnp.ones(n_mat, jnp.float32),
+        roughness=jnp.zeros(n_mat, jnp.float32),
+        light_faces=jnp.zeros((1, 1), jnp.int32),
+        light_nfaces=jnp.ones(1, jnp.int32),
+    )
+    n = 4096
+    # diagonal points (a, a, 0), rays from skewed origins through them —
+    # f32 arithmetic keeps the target exactly on the shared edge
+    a = np.linspace(0.001, 0.999, n, dtype=np.float32)
+    target = np.stack([a, a, np.zeros_like(a)], axis=1)
+    ro = np.stack(
+        [a * 0.3 + 0.1, a * 0.7 + 0.05, np.full_like(a, 2.0)], axis=1
+    ).astype(np.float32)
+    rd = target - ro
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    hit_w, _, _ = intersect_watertight(
+        scene, jnp.asarray(ro), jnp.asarray(rd), 1e-5, 1e5
+    )
+    assert np.asarray(hit_w).all(), (
+        f"watertight leaked {int((~np.asarray(hit_w)).sum())} of {n} edge rays"
+    )
