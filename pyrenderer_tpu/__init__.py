@@ -22,3 +22,5 @@ __version__ = "0.1.0"
 
 from pyrenderer_tpu.scene.types import Scene, Camera  # noqa: F401
 from pyrenderer_tpu.config import RenderConfig  # noqa: F401
+from pyrenderer_tpu import analytic  # noqa: F401  (standalone analytic tracer;
+# CLI: `python -m pyrenderer_tpu.render.cli analytic`)

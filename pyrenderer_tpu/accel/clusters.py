@@ -55,9 +55,12 @@ class ClusterScene:
     """Device-ready clustered geometry.
 
     K = padded cluster count (multiple of GROUP), S = K // GROUP.
-    Padded clusters carry inverted AABBs (min=+inf, max=-inf) so every
-    slab test fails; padded triangle slots duplicate a real triangle of
-    the same cluster (harmless for closest/any hit — same surface).
+    Padded clusters and padded supercluster rows carry all-NaN AABBs:
+    every slab comparison against NaN is false, so the cull REALLY fails
+    (an inverted min=+inf/max=-inf box would pass, because the slab test
+    re-sorts lo/hi per axis — verified empirically). Padded triangle
+    slots in a partially-filled real cluster are all-zero, which the
+    leaf test rejects via det == 0 — a second, independent guard.
     """
 
     tri: jnp.ndarray         # (K * TRI_ROWS, 128) f32 — rows v0|e1|e2 (9) + pad
@@ -104,7 +107,7 @@ def build_clusters(vertices, faces) -> ClusterScene:
     s = k // GROUP
 
     # pad the order with duplicates of the last sorted face up to full
-    # clusters; fully-padded clusters are masked out via inverted AABBs
+    # clusters; fully-padded clusters are masked out via NaN AABBs
     slots = k_real * LANE_TRIS
     order_p = np.concatenate([order, np.full(slots - t, order[-1], np.int64)])
     idx = order_p.reshape(k_real, LANE_TRIS)    # (K_real, 128) face ids
@@ -135,18 +138,25 @@ def build_clusters(vertices, faces) -> ClusterScene:
         tmax[idx].max(axis=1).astype(np.float32), np.float32(np.inf)
     )
 
-    child = np.zeros((k, LANE_TRIS), np.float32)
-    child[:, 0:3] = cmin
-    child[:, 3:6] = cmax
-
+    # supercluster boxes BEFORE padding boxes become NaN (inf/-inf padding
+    # vanishes under min/max here)
     smin = cmin.reshape(s, GROUP, 3).min(axis=1)
     smax = cmax.reshape(s, GROUP, 3).max(axis=1)
     super_box = np.concatenate([smin.T, smax.T], axis=0).astype(np.float32)
 
+    # padded clusters: NaN boxes — NaN fails every slab comparison, so the
+    # cull itself rejects padding (see ClusterScene docstring)
+    cmin[k_real:] = np.nan
+    cmax[k_real:] = np.nan
+
+    child = np.zeros((k, LANE_TRIS), np.float32)
+    child[:, 0:3] = cmin
+    child[:, 3:6] = cmax
+
     s_pad = -(-s // 32) * 32
     super_cols = np.zeros((s_pad, LANE_TRIS), np.float32)
-    super_cols[:, 0:3] = np.inf          # padded rows: inverted boxes
-    super_cols[:, 3:6] = -np.inf
+    super_cols[:, 0:3] = np.nan          # padded rows: NaN boxes never cross
+    super_cols[:, 3:6] = np.nan
     super_cols[:s, 0:3] = smin
     super_cols[:s, 3:6] = smax
     bitw = (1 << (np.arange(s_pad, dtype=np.int64) % 32)).astype(np.int32)

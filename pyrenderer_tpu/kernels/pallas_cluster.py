@@ -5,40 +5,48 @@ is the TPU-native replacement for a divergent per-ray BVH walk (reference
 mathematics/intersection_taichi.py:256-287): instead of each ray chasing
 node pointers, a TILE of 128 rays sweeps the supercluster list in lockstep.
 
-Layout and control flow are shaped by two measured TPU costs:
+Layout and control flow are shaped by three measured TPU costs
+(perf/kernelbench.py runs the measurements on the real chip):
 
   * vector width — every box test keeps RAYS IN LANES, so a slab
     evaluation is a handful of (1,128) / (S,128) / (16,128) ops at full
     VPU width (an early draft kept rays in sublanes, making each slab op
     a (R,1) column that used 1 of 128 lanes — 30x slower end to end);
   * scalar extraction — moving ONE value from a vector register to the
-    scalar unit (for a branch decision) costs hundreds of cycles on
-    Mosaic. A draft that branched per supercluster and per child spent
-    more time extracting booleans than intersecting. So all box tests run
-    DENSELY up front and the per-box decisions are packed into a few int32
-    BITMASKS (one extraction per 32 boxes); the sequential sweep then pays
-    ~2 scalar ALU ops per skipped box.
+    scalar unit costs ~0.3-0.7 us on Mosaic. All box tests therefore run
+    DENSELY up front and the per-box decisions are packed into a few
+    int32 BITMASKS (one extraction per 32 boxes);
+  * lax.cond — a 16-way unrolled cond chain over the children of every
+    visited supercluster (the round-2 design) costs ~0.2-2 us per cond
+    AND blows the Mosaic program up quadratically (277 s compiles at
+    100k triangles). The sweep now iterates set bits directly with a
+    count-trailing-zeros while-loop: one iteration per FLAGGED child,
+    zero cost for skipped ones, and the program contains each loop body
+    once.
 
 Per 128-ray tile:
   1. dense prepass: slab-test all S superclusters at once ((S_pad,128),
      boxes in sublanes, rays in lanes), reduce over rays, pack visit bits
-     into ceil(S/32) int32 scalars;
-  2. sweep superclusters in front-to-back order (sorted outside the kernel
-     by box distance from the wavefront's mean origin; order in SMEM):
-     skipped boxes cost a scalar bit test;
-  3. a visited supercluster slab-tests its 16 child clusters (16,128),
-     bounded by each ray's running t — packs ONE bitmask — and each
-     flagged child runs a dense (128 rays x 128 tris) Moeller-Trumbore at
-     full width: rays in SUBLANES here (column forms precomputed outside
-     the kernel — no in-kernel transposes), triangles in lanes straight
-     from the packed table.
+     into ceil(S/32) int32 scalars. The supercluster rows arrive
+     PERMUTED into front-to-back order (sorted outside the kernel by box
+     distance from the wavefront's mean origin), so ascending bit rank ==
+     near-to-far visit order and an SMEM table maps rank back to the
+     original supercluster id;
+  2. sweep the set bits of each word near-to-far (ctz loop). A visited
+     supercluster slab-tests its 16 child clusters (16,128) against each
+     ray's RUNNING per-ray t-bound, packs ONE bitmask, and each flagged
+     child runs a dense (128 rays x 128 tris) Moeller-Trumbore at full
+     width: rays in SUBLANES here (column forms precomputed outside the
+     kernel — no in-kernel transposes of ray data), triangles in lanes
+     straight from the packed table.
 
 Closest-hit feedback: per-ray best t lives in column form for the leaf
-accept test, and a SCALAR cap (max over the tile of min(t_best, t1))
-bridges into the lane-space child culls — with front-to-back order this
-prunes like a BVH's ordered traversal. The any-hit kernel instead retires
-rays as they occlude (column space) and breaks out of the sweep once the
-whole tile is decided.
+accept test; after each visit it is transposed (one (128,1)->(1,128)
+relayout, vector-unit work, no scalar move) into lane space where the
+child culls read it. With front-to-back order this prunes like a BVH's
+ordered traversal — per ray, not via a shared scalar cap. The any-hit
+kernel instead retires rays as they occlude (column space) and breaks
+out of the sweep once the whole tile is decided.
 
 The whole clustered scene is VMEM-resident (tri table (K*16, 128) f32 —
 8 KB per 128 triangles plus ~0.5 KB of boxes, ~180k triangles in a 12 MB
@@ -78,6 +86,22 @@ MISS_T_MASKED = float(
     ).view(__import__("numpy").float32)
 )
 
+_INT_MIN = -2147483648  # python int: a module-level jnp scalar would be
+                        # captured as a pallas kernel constant
+
+
+def _ctz_low(low):
+    """Index of the single set bit of ``low`` (= word & -word, nonzero).
+
+    Mosaic-portable count-trailing-zeros: a positive power of two converts
+    to float32 exactly, so its biased exponent IS the bit index; bit 31
+    (low == INT_MIN) is special-cased. Scalar ALU ops only — no clz /
+    popcount primitives needed.
+    """
+    f = jax.lax.convert_element_type(low, jnp.float32)
+    e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+    return jnp.where(low == _INT_MIN, jnp.int32(31), e)
+
 
 def _ray_planes(rays_ref):
     """Split the (8, 128) lane-form ray block into (1, 128) component rows."""
@@ -91,7 +115,8 @@ def _ray_planes(rays_ref):
 
 def _box_slab(blk, o, inv, t0, t_lim):
     """(B, 128) slab test: boxes in sublanes (cols 0..5 = min|max), rays in
-    lanes. Returns the (B, 128) crossing mask."""
+    lanes; t_lim scalar or (1, 128) per-ray. Returns the (B, 128) crossing
+    mask. NaN box rows (padding) never cross."""
     lox = (blk[:, 0:1] - o[0]) * inv[0]
     loy = (blk[:, 1:2] - o[1]) * inv[1]
     loz = (blk[:, 2:3] - o[2]) * inv[2]
@@ -120,17 +145,9 @@ def _pack_bits(mask, bitw, n_groups):
     return [jnp.sum(jnp.where(grp == g, bits, 0)) for g in range(n_groups)]
 
 
-def _select_group(masks, g):
-    """Scalar select masks[g] for a traced g (masks: python list)."""
-    out = masks[0]
-    for i in range(1, len(masks)):
-        out = jnp.where(g == i, masks[i], out)
-    return out
-
-
 def _child_bits(child_ref, s, o, inv, t0, t_lim, bitw16):
     """One int32 scalar with bit c set when child cluster c of supercluster
-    s crosses any ray (bounded by t_lim)."""
+    s crosses any ray (bounded per-ray by t_lim (1, 128))."""
     blk = child_ref[pl.ds(s * GROUP, GROUP), :]           # (GROUP, 128)
     cmask = _box_slab(blk, o, inv, t0, t_lim)
     crossed = jnp.sum(cmask.astype(jnp.int32), axis=1, keepdims=True) > 0
@@ -179,7 +196,7 @@ def _bitw16():
     )
 
 
-def _closest_kernel(n_super, t0, order_smem, rays_ref, rcol_ref, super_ref,
+def _closest_kernel(n_groups, t0, order_smem, rays_ref, rcol_ref, super_ref,
                     bitw_ref, child_ref, tri_ref, t_out, slot_out):
     o, d, inv, t1 = _ray_planes(rays_ref)
     rcol = rcol_ref[...]                                  # (128, 8)
@@ -188,12 +205,10 @@ def _closest_kernel(n_super, t0, order_smem, rays_ref, rcol_ref, super_ref,
     t1c = rcol[:, 6:7]
     bitw16 = _bitw16()
 
-    # dense prepass over every supercluster box (t1-bounded; the running
-    # t_cap refines pruning at child level during the sweep)
-    s_pad = super_ref.shape[0]
-    n_groups = s_pad // 32
+    # dense prepass over every supercluster box, t1-bounded per ray;
+    # super_ref rows are pre-sorted front-to-back, so bit rank == visit order
     smask = _box_slab(super_ref[...], o, inv, t0, t1)
-    sc_bits = _pack_bits(smask, bitw_ref[...], n_groups)
+    words = _pack_bits(smask, bitw_ref[...], n_groups)
 
     def leaf(j, t_best, slot_best):
         tm = _leaf_mt(tri_ref, j, oc, dc, t0, jnp.minimum(t_best, t1c))
@@ -217,41 +232,49 @@ def _closest_kernel(n_super, t0, order_smem, rays_ref, rcol_ref, super_ref,
         slot_best = jnp.where(better, j * LANE_TRIS + lane, slot_best)
         return t_best, slot_best
 
-    def super_body(i, carry):
-        t_best, slot_best, t_cap = carry
-        s = order_smem[i]
-        sbit = (_select_group(sc_bits, s // 32) >> (s % 32)) & 1
+    def visit(s, t_best, slot_best, t_lane):
+        cbits = _child_bits(child_ref, s, o, inv, t0, t_lane, bitw16)
 
-        def visit(carry):
-            t_best, slot_best, t_cap = carry
-            cbits = _child_bits(
-                child_ref, s, o, inv, t0, jnp.minimum(t1, t_cap), bitw16
-            )
+        def lbody(carry):
+            cb, t_best, slot_best = carry
+            c = _ctz_low(cb & -cb)
+            t_best, slot_best = leaf(s * GROUP + c, t_best, slot_best)
+            return cb & (cb - 1), t_best, slot_best
 
-            for c in range(GROUP):  # static unroll, scalar bit tests
-                t_best, slot_best = jax.lax.cond(
-                    (cbits >> c) & 1 > 0,
-                    lambda tb_sb, c=c: leaf(s * GROUP + c, *tb_sb),
-                    lambda tb_sb: tb_sb,
-                    (t_best, slot_best),
-                )
-            t_cap = jnp.max(jnp.minimum(t_best, t1c))
-            return t_best, slot_best, t_cap
+        _, t_best, slot_best = jax.lax.while_loop(
+            lambda c: c[0] != 0, lbody, (cbits, t_best, slot_best)
+        )
+        # refresh the lane-space per-ray bound: one (128,1)->(1,128)
+        # relayout per visited supercluster, no scalar extraction
+        t_lane = jnp.minimum(t1, jnp.transpose(jnp.minimum(t_best, t1c)))
+        return t_best, slot_best, t_lane
 
-        return jax.lax.cond(sbit > 0, visit, lambda cr: cr,
-                            (t_best, slot_best, t_cap))
+    def sweep_word(g, word, carry):
+        def wbody(c):
+            word, t_best, slot_best, t_lane = c
+            rank = g * 32 + _ctz_low(word & -word)
+            s = order_smem[rank]
+            t_best, slot_best, t_lane = visit(s, t_best, slot_best, t_lane)
+            return word & (word - 1), t_best, slot_best, t_lane
 
-    init = (
+        carry = jax.lax.while_loop(
+            lambda c: c[0] != 0, wbody, (word, *carry)
+        )
+        return carry[1:]
+
+    carry = (
         jnp.full((RAY_TILE, 1), MISS_T_MASKED, jnp.float32),
         jnp.full((RAY_TILE, 1), -1, jnp.int32),
-        jnp.float32(MISS_T),
+        t1,                                               # (1, 128) per-ray
     )
-    t_best, slot_best, _ = jax.lax.fori_loop(0, n_super, super_body, init)
+    for g in range(n_groups):    # static: one while-loop per 32-super word
+        carry = sweep_word(g, words[g], carry)
+    t_best, slot_best, _ = carry
     t_out[...] = t_best
     slot_out[...] = slot_best
 
 
-def _anyhit_kernel(n_super, t0, order_smem, rays_ref, rcol_ref, super_ref,
+def _anyhit_kernel(n_groups, t0, order_smem, rays_ref, rcol_ref, super_ref,
                    bitw_ref, child_ref, tri_ref, occ_out):
     o, d, inv, t1 = _ray_planes(rays_ref)
     rcol = rcol_ref[...]
@@ -260,62 +283,67 @@ def _anyhit_kernel(n_super, t0, order_smem, rays_ref, rcol_ref, super_ref,
     t1c = rcol[:, 6:7]
     bitw16 = _bitw16()
 
-    s_pad = super_ref.shape[0]
-    n_groups = s_pad // 32
     smask = _box_slab(super_ref[...], o, inv, t0, t1)
-    sc_bits = _pack_bits(smask, bitw_ref[...], n_groups)
+    words = _pack_bits(smask, bitw_ref[...], n_groups)
 
-    def body(carry):
-        i, occ, undecided = carry
-        s = order_smem[i]
-        sbit = (_select_group(sc_bits, s // 32) >> (s % 32)) & 1
+    def visit(s, occ):
+        # occ lives in column form (the leaf's output space); occluded rays
+        # contribute nothing further because their leaf t-window collapses
+        # to (t0, t0). The tile-level early break re-extracts ONE scalar
+        # per visit — occ can only change under a visit.
+        cbits = _child_bits(child_ref, s, o, inv, t0, t1, bitw16)
 
-        def visit(carry):
-            # occ lives in column form (the leaf's output space); box culls
-            # stay t1-bounded and the tile-level early break (undecided)
-            # bridges through a scalar RE-EXTRACTED ONLY HERE — occ can only
-            # change under a visit, and a vector->scalar move per while
-            # iteration would dominate the sweep
-            occ, _ = carry
-            cbits = _child_bits(child_ref, s, o, inv, t0, t1, bitw16)
+        def lbody(carry):
+            cb, occ = carry
+            c = _ctz_low(cb & -cb)
+            tm = _leaf_mt(tri_ref, s * GROUP + c, oc, dc, t0,
+                          jnp.where(occ > 0, t0, t1c))
+            any_hit = jnp.sum(
+                (tm < MISS_T).astype(jnp.int32), axis=1, keepdims=True
+            )
+            return cb & (cb - 1), jnp.maximum(occ, (any_hit > 0).astype(jnp.int32))
 
-            def hit_leaf(occ, c):
-                tm = _leaf_mt(tri_ref, s * GROUP + c, oc, dc, t0,
-                              jnp.where(occ > 0, t0, t1c))
-                any_hit = jnp.sum(
-                    (tm < MISS_T).astype(jnp.int32), axis=1, keepdims=True
-                )
-                return jnp.maximum(occ, (any_hit > 0).astype(jnp.int32))
+        _, occ = jax.lax.while_loop(lambda c: c[0] != 0, lbody, (cbits, occ))
+        return occ, RAY_TILE - jnp.sum(occ)
 
-            for c in range(GROUP):  # static unroll (see closest kernel)
-                occ = jax.lax.cond((cbits >> c) & 1 > 0,
-                                   lambda oc_, c=c: hit_leaf(oc_, c),
-                                   lambda oc_: oc_, occ)
-            return occ, RAY_TILE - jnp.sum(occ)
+    def sweep_word(g, word, carry):
+        def wbody(c):
+            word, occ, undecided = c
+            rank = g * 32 + _ctz_low(word & -word)
+            s = order_smem[rank]
+            occ, undecided = visit(s, occ)
+            return word & (word - 1), occ, undecided
 
-        occ, undecided = jax.lax.cond(sbit > 0, visit, lambda cr: cr,
-                                      (occ, undecided))
-        return i + 1, occ, undecided
+        return jax.lax.while_loop(
+            lambda c: (c[0] != 0) & (c[2] > 0), wbody, (word, *carry)
+        )[1:]
 
-    def cond(carry):
-        i, _occ, undecided = carry
-        return (i < n_super) & (undecided > 0)
-
-    init = (jnp.int32(0), jnp.zeros((RAY_TILE, 1), jnp.int32),
-            jnp.int32(RAY_TILE))
-    _, occ, _ = jax.lax.while_loop(cond, body, init)
-    occ_out[...] = occ
+    carry = (jnp.zeros((RAY_TILE, 1), jnp.int32), jnp.int32(RAY_TILE))
+    for g in range(n_groups):
+        carry = sweep_word(g, words[g], carry)
+    occ_out[...] = carry[0]
 
 
 def _sc_order(cs: ClusterScene, ro):
-    """Front-to-back supercluster order for this wavefront: sort boxes by
+    """Front-to-back supercluster rank for this wavefront: sort boxes by
     distance of their center from the mean ray origin. Exact for primary
     rays (shared origin); a good heuristic for sorted bounce wavefronts.
-    The order feeds the kernel through SMEM — tables are never shuffled."""
+
+    Returns order (S_pad,) i32 (rank -> original supercluster id; padded
+    ranks map to the NaN-boxed padding rows, whose bits never set) and the
+    correspondingly permuted supercluster row table for the kernel's
+    prepass — the bit rank IS the visit order, so the sweep needs no
+    per-step indirection beyond one SMEM lookup."""
+    s = cs.n_superclusters
+    s_pad = cs.super_cols.shape[0]
     centers = 0.5 * (cs.super_box[0:3] + cs.super_box[3:6])   # (3, S)
     mean_o = jnp.mean(ro, axis=0)
     d2 = jnp.sum((centers - mean_o[:, None]) ** 2, axis=0)
-    return jnp.argsort(d2).astype(jnp.int32)
+    order = jnp.argsort(d2).astype(jnp.int32)
+    order = jnp.concatenate(
+        [order, jnp.arange(s, s_pad, dtype=jnp.int32)]
+    )
+    return order, cs.super_cols[order]
 
 
 def _pack_rays(ro, rd, t1v):
@@ -333,12 +361,12 @@ def _pack_rays(ro, rd, t1v):
 
 
 _COMMON_IN_SPECS = [
-    pl.BlockSpec(memory_space=pltpu.SMEM),                # sc order (S,)
+    pl.BlockSpec(memory_space=pltpu.SMEM),                # rank -> super id
     pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
                  memory_space=pltpu.VMEM),                # rays lane-form
     pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0),
                  memory_space=pltpu.VMEM),                # rays col-form
-    pl.BlockSpec(memory_space=pltpu.VMEM),                # super box rows
+    pl.BlockSpec(memory_space=pltpu.VMEM),                # sorted super rows
     pl.BlockSpec(memory_space=pltpu.VMEM),                # bit weights
     pl.BlockSpec(memory_space=pltpu.VMEM),                # child boxes
     pl.BlockSpec(memory_space=pltpu.VMEM),                # tri table
@@ -346,11 +374,13 @@ _COMMON_IN_SPECS = [
 
 
 @partial(jax.jit, static_argnames=("t0", "interpret"))
-def _sweep(cs: ClusterScene, rays_lane, rays_col, order, t0, interpret=False):
+def _sweep(cs: ClusterScene, rays_lane, rays_col, order, super_sorted, t0,
+           interpret=False):
     n = rays_col.shape[0]
     grid = (n // RAY_TILE,)
+    n_groups = cs.super_cols.shape[0] // 32
     t, slot = pl.pallas_call(
-        partial(_closest_kernel, cs.n_superclusters, t0),
+        partial(_closest_kernel, n_groups, t0),
         grid=grid,
         in_specs=_COMMON_IN_SPECS,
         out_specs=[
@@ -364,24 +394,25 @@ def _sweep(cs: ClusterScene, rays_lane, rays_col, order, t0, interpret=False):
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(order, rays_lane, rays_col, cs.super_cols, cs.bitw, cs.child_box, cs.tri)
+    )(order, rays_lane, rays_col, super_sorted, cs.bitw, cs.child_box, cs.tri)
     return t[:, 0], slot[:, 0]
 
 
 @partial(jax.jit, static_argnames=("t0", "interpret"))
-def _sweep_any(cs: ClusterScene, rays_lane, rays_col, order, t0,
+def _sweep_any(cs: ClusterScene, rays_lane, rays_col, order, super_sorted, t0,
                interpret=False):
     n = rays_col.shape[0]
     grid = (n // RAY_TILE,)
+    n_groups = cs.super_cols.shape[0] // 32
     occ = pl.pallas_call(
-        partial(_anyhit_kernel, cs.n_superclusters, t0),
+        partial(_anyhit_kernel, n_groups, t0),
         grid=grid,
         in_specs=_COMMON_IN_SPECS,
         out_specs=pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
         interpret=interpret,
-    )(order, rays_lane, rays_col, cs.super_cols, cs.bitw, cs.child_box, cs.tri)
+    )(order, rays_lane, rays_col, super_sorted, cs.bitw, cs.child_box, cs.tri)
     return occ[:, 0] > 0
 
 
@@ -434,8 +465,9 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
         hit, t, slot = closest_hit_ref(cs, ro, rd, t0, t1)
         return hit, t, slot_to_face(cs, slot).astype(jnp.int32)
     lane, cols, perm, n = _prepare(cs, ro, rd, t1, sort)
-    order = _sc_order(cs, ro[:n] if perm is None else ro)
-    t, slot = _sweep(cs, lane, cols, order, float(t0), interpret=interpret)
+    order, super_sorted = _sc_order(cs, ro[:n] if perm is None else ro)
+    t, slot = _sweep(cs, lane, cols, order, super_sorted, float(t0),
+                     interpret=interpret)
     t, slot = t[:n], slot[:n]
     if perm is not None:
         inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))
@@ -460,8 +492,9 @@ def occluded(cs: ClusterScene, ro, rd, t0, t1, sort=False, interpret=False):
 
         return occluded_ref(cs, ro, rd, t0, t1)
     lane, cols, perm, n = _prepare(cs, ro, rd, t1, sort)
-    order = _sc_order(cs, ro[:n] if perm is None else ro)
-    occ = _sweep_any(cs, lane, cols, order, float(t0), interpret=interpret)
+    order, super_sorted = _sc_order(cs, ro[:n] if perm is None else ro)
+    occ = _sweep_any(cs, lane, cols, order, super_sorted, float(t0),
+                     interpret=interpret)
     occ = occ[:n]
     if perm is not None:
         inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))

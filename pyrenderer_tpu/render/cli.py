@@ -17,7 +17,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="pyrenderer_tpu",
         description="TPU-native differentiable path tracer",
     )
-    p.add_argument("scene", help="Tungsten scene JSON")
+    p.add_argument(
+        "scene",
+        help="Tungsten scene JSON, or the literal 'analytic' for the "
+        "self-contained analytic-primitive scene (reference taichi_ref.py)",
+    )
     p.add_argument("--spp", type=int, help="samples per pixel (scene default)")
     p.add_argument("--spp-step", type=int, help="samples per progressive pass")
     p.add_argument("--depth", type=int, help="max bounces (scene default)")
@@ -61,6 +65,9 @@ def main(argv=None) -> int:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    if args.scene == "analytic":
+        return _main_analytic(args)
+
     from pyrenderer_tpu.core.film import Film
     from pyrenderer_tpu.render.driver import ProgressiveRenderer
     from pyrenderer_tpu.scene import load_tungsten
@@ -102,6 +109,32 @@ def main(argv=None) -> int:
     written = renderer.write_outputs()
     for path in written:
         print(f"wrote {path}", file=sys.stderr)
+    return 0
+
+
+def _main_analytic(args) -> int:
+    """Render the hardcoded analytic-primitive scene (`scene == "analytic"`).
+
+    The reference counterpart is `python taichi_ref.py` — a standalone
+    renderer outside the Tungsten pipeline (taichi_ref.py:441-511); flags
+    that only make sense for scene-driven renders are ignored.
+    """
+    import numpy as np
+
+    from pyrenderer_tpu import analytic
+    from pyrenderer_tpu.utils.image_io import write_png
+
+    res = tuple(args.res) if args.res is not None else (400, 400)
+    spp = args.spp if args.spp is not None else 25
+    depth = args.depth if args.depth is not None else analytic.MAX_DEPTH
+    hdr = analytic.render(res=res, spp=spp, seed=args.seed, max_depth=depth)
+    ldr = np.clip(np.asarray(analytic.tonemap(hdr)), 0.0, 1.0)
+    out = args.out or "analytic.png"
+    write_png(out, ldr)
+    if args.hdr_out:
+        np.save(args.hdr_out, np.asarray(hdr))
+        print(f"wrote {args.hdr_out}", file=sys.stderr)
+    print(f"wrote {out}", file=sys.stderr)
     return 0
 
 
