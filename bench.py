@@ -1,4 +1,4 @@
-"""Headline benchmark: Mrays/s/chip on the Cornell box at 4 bounces.
+"""Headline benchmark: Mrays/s/chip at 4 bounces.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 100 — BASELINE.md's >=100 Mrays/s/chip target (the
@@ -7,8 +7,16 @@ reference publishes no numbers of its own; SURVEY §6).
 Rays counted = live closest-hit rays + NEE shadow rays (dead masked lanes
 excluded), as accumulated inside the integrator's bounce scan.
 
-Env knobs: BENCH_SPP (default 8 timed full-frame passes),
-BENCH_RES (default 1024), BENCH_CHUNK (rays per dispatch, default 2^18).
+Env knobs:
+  BENCH_SCENE   cornell (default, the headline 36-tri Bitterli box) |
+                terrain8k | terrain100k | blob82k — procgen large scenes
+                (scene/procgen.py) exercising the cluster accelerator
+  BENCH_BACKEND auto (default) | pallas | matmul | brute | cluster | ...
+  BENCH_SPP     timed full-frame passes (default 16; 4 for large scenes)
+  BENCH_RES     resolution (default 1024; 512 for large scenes)
+  BENCH_CHUNK   rays per dispatch chunk (default 2^18)
+
+perf/RESULTS.md records measured values for each on the real chip.
 """
 
 import json
@@ -19,6 +27,34 @@ from functools import partial
 
 import numpy as np
 
+SCENES = {
+    # name -> (loader kwargs, default res, default spp, metric name)
+    "cornell": (None, 1024, 16, "cornell_box_4bounce_mrays_per_sec_per_chip"),
+    "terrain8k": (dict(kind="terrain", res=64), 512, 4,
+                  "terrain8k_4bounce_mrays_per_sec_per_chip"),
+    "terrain100k": (dict(kind="terrain", res=224), 512, 4,
+                    "terrain100k_4bounce_mrays_per_sec_per_chip"),
+    "blob82k": (dict(kind="blob", subdivisions=6), 512, 4,
+                "blob82k_4bounce_mrays_per_sec_per_chip"),
+}
+
+
+def load_bench_scene(name):
+    from pyrenderer_tpu.scene import load_tungsten
+
+    procgen_kw, res, spp, metric = SCENES[name]
+    if procgen_kw is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+        scene, camera, _ = load_tungsten(
+            os.path.join(root, "scenes", "cornell_box.json")
+        )
+    else:
+        from pyrenderer_tpu.scene.procgen import big_scene_data
+        from pyrenderer_tpu.scene.tungsten import build_scene
+
+        scene, camera, _ = build_scene(big_scene_data(**procgen_kw))
+    return scene, camera, res, spp, metric
+
 
 def main():
     import jax
@@ -26,16 +62,24 @@ def main():
 
     from pyrenderer_tpu.config import RenderConfig
     from pyrenderer_tpu.core.camera import generate_rays
-    from pyrenderer_tpu.core.integrator import TraceTables, trace_reference
-    from pyrenderer_tpu.scene import load_tungsten
+    from pyrenderer_tpu.core.integrator import (
+        TraceTables,
+        maybe_build_accel,
+        trace_reference,
+    )
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    scene, camera, _ = load_tungsten(os.path.join(root, "scenes", "cornell_box.json"))
+    scene_name = os.environ.get("BENCH_SCENE", "cornell")
+    scene, camera, def_res, def_spp, metric = load_bench_scene(scene_name)
+
+    res = int(os.environ.get("BENCH_RES", str(def_res)))
+    spp = int(os.environ.get("BENCH_SPP", str(def_spp)))
+    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 18)))
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+
+    # accelerator build runs on host arrays, outside jit
+    accel = maybe_build_accel(scene, backend)
     scene = jax.tree.map(jnp.asarray, scene)
 
-    res = int(os.environ.get("BENCH_RES", "1024"))
-    spp = int(os.environ.get("BENCH_SPP", "16"))
-    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 18)))
     camera = camera._replace(resolution=(res, res))
     cfg = RenderConfig(max_bounces=4, spp=spp, seed=0)
     w, h = camera.resolution
@@ -44,7 +88,6 @@ def main():
     xs = jnp.asarray(xs.reshape(-1), jnp.int32)
     ys = jnp.asarray(ys.reshape(-1), jnp.int32)
 
-    backend = os.environ.get("BENCH_BACKEND", "auto")
     n_chunks = (w * h + chunk - 1) // chunk
     # chunked pixel coords: (n_chunks, chunk) — statically indexed inside jit
     # so the whole benchmark is ONE dispatch (per-dispatch latency through
@@ -55,7 +98,7 @@ def main():
 
     @partial(jax.jit, static_argnames=("n_samples",))
     def bench_all(scene, xs_c, ys_c, first_sample, n_samples):
-        tables = TraceTables(scene, cfg, backend)
+        tables = TraceTables(scene, cfg, backend, accel=accel)
 
         def one_sample(carry, s):
             total, rays = carry
@@ -80,7 +123,8 @@ def main():
         return total, rays
 
     print(
-        f"bench: {w}x{h}, {spp} passes, chunk={chunk} ({n_chunks} chunks/pass), "
+        f"bench[{scene_name}]: {w}x{h}, {scene.faces.shape[0]} tris, "
+        f"{spp} passes, chunk={chunk} ({n_chunks} chunks/pass), "
         f"backend={backend}, device={jax.devices()[0]}",
         file=sys.stderr,
     )
@@ -107,7 +151,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "cornell_box_4bounce_mrays_per_sec_per_chip",
+                "metric": metric,
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 3),

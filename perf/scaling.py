@@ -25,6 +25,7 @@ import os
 import socket
 import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -49,30 +50,47 @@ def run_processes(n_proc: int, cpu_devices: int, res: int, spp: int,
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # worker stdout/stderr go to temp FILES, not pipes: a later worker
+    # filling its ~64 KB pipe buffer while process 0 blocks in a collective
+    # would deadlock a sequential communicate() drain
     procs = []
-    for pid in range(n_proc):
-        cmd = [
-            sys.executable, "-m", "pyrenderer_tpu.dist.worker", SCENE,
-            "--coordinator", f"localhost:{port}",
-            "--num-processes", str(n_proc), "--process-id", str(pid),
-            "--cpu-devices", str(cpu_devices),
-            "--res", str(res), "--spp", str(spp), "--depth", str(depth),
-            "--reps", str(reps),
-        ]
-        procs.append(subprocess.Popen(cmd, cwd=ROOT, env=env,
-                                      stdout=subprocess.PIPE,
-                                      stderr=subprocess.PIPE, text=True))
-    result = None
-    for p in procs:
-        out, err = p.communicate(timeout=1200)
-        if p.returncode != 0:
-            raise RuntimeError(f"worker failed:\n{out}\n{err[-3000:]}")
-        for line in out.splitlines():
-            if line.startswith("RESULT "):
-                r = json.loads(line[len("RESULT "):])
-                if r["process_id"] == 0:
-                    result = r
-    return result
+    logs = []
+    try:
+        for pid in range(n_proc):
+            cmd = [
+                sys.executable, "-m", "pyrenderer_tpu.dist.worker", SCENE,
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", str(n_proc), "--process-id", str(pid),
+                "--cpu-devices", str(cpu_devices),
+                "--res", str(res), "--spp", str(spp), "--depth", str(depth),
+                "--reps", str(reps),
+            ]
+            fo = tempfile.TemporaryFile(mode="w+")
+            fe = tempfile.TemporaryFile(mode="w+")
+            logs.append((fo, fe))
+            procs.append(subprocess.Popen(cmd, cwd=ROOT, env=env,
+                                          stdout=fo, stderr=fe))
+        result = None
+        for p, (fo, fe) in zip(procs, logs):
+            p.wait(timeout=1200)
+            fo.seek(0)
+            fe.seek(0)
+            out, err = fo.read(), fe.read()
+            if p.returncode != 0:
+                raise RuntimeError(f"worker failed:\n{out}\n{err[-3000:]}")
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    r = json.loads(line[len("RESULT "):])
+                    if r["process_id"] == 0:
+                        result = r
+        return result
+    finally:
+        for p in procs:          # kill survivors on timeout/failure
+            if p.poll() is None:
+                p.kill()
+        for fo, fe in logs:
+            fo.close()
+            fe.close()
 
 
 def multi_process_table(args):

@@ -100,10 +100,23 @@ def resolve_backend(backend: str, n_tris: int, accel=None) -> str:
     triangles resident on-chip). Large scenes: the accelerated backend
     matching the prebuilt structure (render_image / ProgressiveRenderer
     build one automatically via maybe_build_accel), else fall back to the
-    whole-table path (correct, just O(T))."""
+    whole-table path (correct, just O(T)) — with a loud warning, because at
+    ~100k triangles the whole-table kernels' (9, T) SMEM operand will
+    refuse to compile with no hint of the real cause."""
     if backend != "auto":
         return backend
     if n_tris <= AUTO_BRUTE_MAX_TRIS or accel is None:
+        if n_tris > AUTO_BRUTE_MAX_TRIS:
+            import warnings
+
+            warnings.warn(
+                f"backend='auto' with {n_tris} triangles but no prebuilt "
+                "accelerator: falling back to the O(T) whole-table path. "
+                "Build one with core.integrator.maybe_build_accel(scene, "
+                "'auto') and pass it as accel=... (render_image and "
+                "ProgressiveRenderer do this automatically).",
+                stacklevel=2,
+            )
         return default_backend()
     from pyrenderer_tpu.accel.clusters import ClusterScene
 

@@ -51,6 +51,19 @@ def _safe_normalize(v):
     return sampling.safe_normalize(v)
 
 
+def _match_vma(x, ref):
+    """Promote x's varying-manual-axes to ref's (no-op outside shard_map).
+
+    Needed so `lax.scan` carries typecheck under `check_vma=True` when a
+    body output is derived purely from collective-combined (invariant)
+    values but its carry slot entered varying."""
+    try:
+        need = jax.typeof(ref).vma - jax.typeof(x).vma
+    except AttributeError:
+        return x
+    return jax.lax.pvary(x, tuple(need)) if need else x
+
+
 def trace_pbrt(
     scene: Scene,
     cfg: RenderConfig,
@@ -175,7 +188,11 @@ def trace_pbrt(
         alive = alive & jnp.where(is_metal, metal_ok, True)
 
         prev_pdf = jnp.where(is_lambert, pdf_l, 1.0)
-        prev_spec = ~is_lambert
+        # match the carry's varying-manual-axes: is_lambert flows from the
+        # psum-combined face fetch and is typed shard-invariant under a
+        # geometry-sharded shard_map (dist/geometry.py, check_vma=True),
+        # while the carry slot entered shard-varying via the promoted rays
+        prev_spec = _match_vma(~is_lambert, state[6])
 
         # ---- russian roulette (absent in the reference; SURVEY §7 north-star) ----
         u_rr = rng.uniform(seed, pixel_id, sample_id, bounce, rng.U_RR, dtype)

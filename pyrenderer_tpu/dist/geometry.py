@@ -145,12 +145,14 @@ def render_field_geometry_sharded(
         # Every gp device computes the identical (N/dp, 3) block (the hit
         # combine is a psum), so each device RETURNS its own gp-slice of the
         # rows and the out spec reassembles them. Exact: pure data movement,
-        # no math. check_vma off: the bounce-scan carries mix gp-varying
-        # (rays) and gp-invariant (psum-combined shading) values, which the
-        # static varying-axes checker cannot type; the parity tests
-        # (tests/test_dist_geometry.py) verify replication dynamically.
+        # no math. check_vma on: the bounce-scan carries enter gp-varying
+        # (rays promoted below via pvary) and psum-combined body outputs
+        # are re-promoted to match (integrator_pbrt._match_vma), so the
+        # static varying-axes checker types the whole body; the parity
+        # tests (tests/test_dist_geometry.py) also verify replication
+        # dynamically.
         out_specs=P(("dp", "gp")),
-        check_vma=False,
+        check_vma=True,
     )
     def shard_render(scene_l, camera, px, py, v0s, e1s, e2s, fds, light_data):
         v0l, e1l, e2l, fdl = v0s[0], e1s[0], e2s[0], fds[0]
@@ -187,6 +189,12 @@ def render_field_geometry_sharded(
         def one_sample(s):
             sample = jnp.full_like(pixel_id, s)
             ro, rd = generate_rays(camera, px, py, sample, cfg.seed, strata=strata)
+            # primary rays are gp-invariant (every gp device traces the same
+            # wavefront); the bounce step's outputs are typed gp-varying
+            # (they flow through gp-sharded triangle tables before the exact
+            # psum/all_gather combines), so promote the scan's init to match
+            # — this is what lets check_vma=True typecheck the body
+            ro, rd = jax.lax.pvary((ro, rd), "gp")
             if cfg.estimator == "reference":
                 return trace_reference(
                     scene_l, cfg, ro, rd, pixel_id, sample, cfg.seed, tables=tables

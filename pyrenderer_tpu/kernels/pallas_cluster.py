@@ -93,14 +93,21 @@ _INT_MIN = -2147483648  # python int: a module-level jnp scalar would be
 def _ctz_low(low):
     """Index of the single set bit of ``low`` (= word & -word, nonzero).
 
-    Mosaic-portable count-trailing-zeros: a positive power of two converts
-    to float32 exactly, so its biased exponent IS the bit index; bit 31
-    (low == INT_MIN) is special-cased. Scalar ALU ops only — no clz /
-    popcount primitives needed.
+    Mosaic-portable count-trailing-zeros: branchless binary search with
+    scalar integer ALU ops only — Mosaic has no scalar clz/popcount and
+    rejects scalar bitcasts (tpu.bitcast is vector-only), so the usual
+    float-exponent trick is unavailable. Bit 31 (low == INT_MIN, the one
+    negative power of two, for which arithmetic >> would sign-extend) is
+    special-cased up front.
     """
-    f = jax.lax.convert_element_type(low, jnp.float32)
-    e = (jax.lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
-    return jnp.where(low == _INT_MIN, jnp.int32(31), e)
+    is_min = low == _INT_MIN
+    low = jnp.where(is_min, jnp.int32(1), low)
+    c = jnp.int32(0)
+    for shift in (16, 8, 4, 2, 1):
+        z = (low & ((1 << shift) - 1)) == 0
+        c = c + jnp.where(z, shift, 0)
+        low = jnp.where(z, low >> shift, low)
+    return jnp.where(is_min, jnp.int32(31), c)
 
 
 def _ray_planes(rays_ref):

@@ -20,6 +20,7 @@ import json
 import os
 import socket
 import subprocess
+import tempfile
 import sys
 
 import numpy as np
@@ -40,6 +41,8 @@ def _free_port() -> int:
 def _spawn_workers(n_proc, cpu_devices, out_path, res=32, spp=2, depth=2, sp=1):
     port = _free_port()
     procs = []
+    logs = []  # (stdout, stderr) temp files: pipes would deadlock if a
+    # later worker fills its buffer while process 0 blocks in a collective
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker sets platform itself
     for pid in range(n_proc):
@@ -54,20 +57,29 @@ def _spawn_workers(n_proc, cpu_devices, out_path, res=32, spp=2, depth=2, sp=1):
         ]
         if pid == 0 and out_path:
             cmd += ["--out", out_path]
-        procs.append(
-            subprocess.Popen(
-                cmd, cwd=REPO, env=env,
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            )
-        )
+        fo = tempfile.TemporaryFile(mode="w+")
+        fe = tempfile.TemporaryFile(mode="w+")
+        logs.append((fo, fe))
+        procs.append(subprocess.Popen(cmd, cwd=REPO, env=env, stdout=fo, stderr=fe))
     results = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, f"worker failed:\nSTDOUT:{out}\nSTDERR:{err[-3000:]}"
-        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
-        assert line, f"no RESULT line:\n{out}\n{err[-2000:]}"
-        results.append(json.loads(line[-1][len("RESULT "):]))
-    return results
+    try:
+        for p, (fo, fe) in zip(procs, logs):
+            p.wait(timeout=600)
+            fo.seek(0)
+            fe.seek(0)
+            out, err = fo.read(), fe.read()
+            assert p.returncode == 0, f"worker failed:\nSTDOUT:{out}\nSTDERR:{err[-3000:]}"
+            line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+            assert line, f"no RESULT line:\n{out}\n{err[-2000:]}"
+            results.append(json.loads(line[-1][len("RESULT "):]))
+        return results
+    finally:
+        for p in procs:          # kill survivors on timeout/assert
+            if p.poll() is None:
+                p.kill()
+        for fo, fe in logs:
+            fo.close()
+            fe.close()
 
 
 @pytest.mark.slow

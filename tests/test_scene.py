@@ -131,3 +131,26 @@ def test_resolve_backend_by_count():
     assert resolve_backend("auto", small, False) in ("pallas", "brute")
     # large scene with a prebuilt accelerator -> bvh
     assert resolve_backend("auto", big, True) == "bvh"
+
+
+def test_resolve_backend_warns_on_missing_accel():
+    """auto + large scene + no accel falls back to O(T) with a loud hint
+    at maybe_build_accel (the (9, T) SMEM operand would otherwise refuse
+    to compile with an opaque error)."""
+    import warnings
+
+    from pyrenderer_tpu.core.integrator import (
+        AUTO_BRUTE_MAX_TRIS,
+        resolve_backend,
+    )
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        resolve_backend("auto", AUTO_BRUTE_MAX_TRIS + 1, None)
+    assert any("maybe_build_accel" in str(w.message) for w in caught)
+
+    # no warning when an accel is supplied or the scene is small
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        resolve_backend("auto", 36, None)
+    assert not caught
