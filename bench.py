@@ -15,6 +15,8 @@ Env knobs:
   BENCH_SPP     timed full-frame passes (default 16; 4 for large scenes)
   BENCH_RES     resolution (default 1024; 512 for large scenes)
   BENCH_CHUNK   rays per dispatch chunk (default 2^18)
+  BENCH_ESTIMATOR  reference (default) | pbrt
+  BENCH_WATERTIGHT 1 -> cluster backend uses watertight leaves
 
 perf/RESULTS.md records measured values for each on the real chip.
 """
@@ -69,6 +71,8 @@ def main():
     )
 
     scene_name = os.environ.get("BENCH_SCENE", "cornell")
+    estimator = os.environ.get("BENCH_ESTIMATOR", "reference")
+    watertight = os.environ.get("BENCH_WATERTIGHT", "0") == "1"
     scene, camera, def_res, def_spp, metric = load_bench_scene(scene_name)
 
     res = int(os.environ.get("BENCH_RES", str(def_res)))
@@ -81,7 +85,8 @@ def main():
     scene = jax.tree.map(jnp.asarray, scene)
 
     camera = camera._replace(resolution=(res, res))
-    cfg = RenderConfig(max_bounces=4, spp=spp, seed=0)
+    cfg = RenderConfig(max_bounces=4, spp=spp, seed=0, estimator=estimator,
+                       cluster_watertight=watertight)
     w, h = camera.resolution
 
     ys, xs = np.mgrid[0:h, 0:w]
@@ -107,10 +112,18 @@ def main():
                 pixel_id = (py * w + px).astype(jnp.uint32)
                 sample = jnp.full_like(pixel_id, s)
                 ro, rd = generate_rays(camera, px, py, sample, cfg.seed)
-                rad, n_rays = trace_reference(
-                    scene, cfg, ro, rd, pixel_id, sample, cfg.seed,
-                    tables=tables, with_stats=True,
-                )
+                if estimator == "reference":
+                    rad, n_rays = trace_reference(
+                        scene, cfg, ro, rd, pixel_id, sample, cfg.seed,
+                        tables=tables, with_stats=True,
+                    )
+                else:
+                    from pyrenderer_tpu.core.integrator_pbrt import trace_pbrt
+
+                    rad, n_rays = trace_pbrt(
+                        scene, cfg, ro, rd, pixel_id, sample, cfg.seed,
+                        tables=tables, with_stats=True,
+                    )
                 total = total + rad.sum(axis=0)
                 rays = rays + n_rays
             return (total, rays), None
@@ -122,8 +135,10 @@ def main():
         )
         return total, rays
 
+    tag = "" if estimator == "reference" else f",{estimator}"
+    tag += ",watertight" if watertight else ""
     print(
-        f"bench[{scene_name}]: {w}x{h}, {scene.faces.shape[0]} tris, "
+        f"bench[{scene_name}{tag}]: {w}x{h}, {scene.faces.shape[0]} tris, "
         f"{spp} passes, chunk={chunk} ({n_chunks} chunks/pass), "
         f"backend={backend}, device={jax.devices()[0]}",
         file=sys.stderr,
@@ -151,7 +166,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": metric,
+                "metric": metric + ("_" + estimator if estimator != "reference" else "") + ("_watertight" if watertight else ""),
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 3),

@@ -40,6 +40,10 @@ class RenderConfig:
     adaptive_min_spp: int = 8      # uniform spp before adaptivity kicks in
     adaptive_tolerance: float = 0.02  # stop refining a pixel below this relative error
     shadow_eps: float = 1e-3       # relative margin excluding the sampled light face
+    cluster_watertight: bool = False  # cluster-backend leaves use the PBRT
+    #                                shear watertight test instead of plain
+    #                                Moeller-Trumbore (~3x the leaf ALU cost;
+    #                                for shared-edge-heavy meshes)
     t_min: float = 1e-5            # reference tracing.py:125 hit epsilon
     t_max: float = 99999.9         # reference tracing.py:125
     output_file: str = "out.png"

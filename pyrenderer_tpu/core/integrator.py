@@ -287,7 +287,8 @@ def _closest(scene, tables, cfg, ro, rd, t1):
     if b == "cluster":
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
-        return pc.closest_hit(tables.accel, ro, rd, cfg.t_min, t1)
+        return pc.closest_hit(tables.accel, ro, rd, cfg.t_min, t1,
+                              watertight=cfg.cluster_watertight)
     if b == "watertight":
         from pyrenderer_tpu.core.watertight import intersect_watertight
 
@@ -314,7 +315,8 @@ def _any_hit(scene, tables, cfg, ro, rd, t1):
     if b == "cluster":
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
-        return pc.occluded(tables.accel, ro, rd, cfg.t_min, t1)
+        return pc.occluded(tables.accel, ro, rd, cfg.t_min, t1,
+                           watertight=cfg.cluster_watertight)
     if b == "watertight":
         from pyrenderer_tpu.core.watertight import occluded_watertight
 

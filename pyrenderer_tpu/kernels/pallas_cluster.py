@@ -197,14 +197,78 @@ def _leaf_mt(tri_ref, j, oc, dc, t0, t_lim_col):
     return jnp.where(ok, t, MISS_T)
 
 
+def _leaf_wt(tri_ref, j, oc, dc, t0, t_lim_col):
+    """(128 rays, 128 tris) PBRT shear WATERTIGHT test for cluster j —
+    the leak-free alternative to _leaf_mt (same contract), selected by
+    `watertight=True` / RenderConfig.cluster_watertight.
+
+    Algorithm of reference mathematics/intersection_taichi.py:94-161 in
+    the kernel's dual layout: per-ray permutation/shear constants are
+    (128, 1) columns, triangle vertices are (1, 128) lane rows, and the
+    axis permutation is two nested selects per component (core/
+    watertight.py _permute does the same outside the kernel). The exact-
+    zero edge-function fallback is the compensated difference-of-products
+    (core/watertight.py diff_of_products), pure f32. ~3x the ALU of the
+    plain Moeller-Trumbore leaf.
+    """
+    from pyrenderer_tpu.core.watertight import diff_of_products
+
+    blk = tri_ref[pl.ds(j * TRI_ROWS, TRI_ROWS), :]       # (16, 128)
+    v0 = (blk[0:1, :], blk[1:2, :], blk[2:3, :])
+    v1 = tuple(v0[a] + blk[3 + a:4 + a, :] for a in range(3))   # v0 + e1
+    v2 = tuple(v0[a] + blk[6 + a:7 + a, :] for a in range(3))   # v0 + e2
+    dx, dy, dz = dc
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    domx = (adx >= ady) & (adx >= adz)                    # (128, 1) kz == 0
+    domy = ~domx & (ady >= adz)                           # kz == 1
+
+    def sel(px, py, pz):
+        """Component kz of (px, py, pz) per ray."""
+        return jnp.where(domx, px, jnp.where(domy, py, pz))
+
+    # permuted ray direction: new z = dominant axis, x/y the cyclic others
+    d_z = sel(dx, dy, dz)
+    d_x = sel(dy, dz, dx)
+    d_y = sel(dz, dx, dy)
+    sx = -d_x / d_z
+    sy = -d_y / d_z
+    sz = 1.0 / d_z
+
+    def shear(v):
+        tx = v[0] - oc[0]                                 # (128, 128)
+        ty = v[1] - oc[1]
+        tz = v[2] - oc[2]
+        pz = sel(tx, ty, tz)
+        px = sel(ty, tz, tx)
+        py = sel(tz, tx, ty)
+        return px + sx * pz, py + sy * pz, pz
+
+    x0, y0, z0 = shear(v0)
+    x1, y1, z1 = shear(v1)
+    x2, y2, z2 = shear(v2)
+
+    e0 = x1 * y2 - y1 * x2
+    e1 = x2 * y0 - y2 * x0
+    e2 = x0 * y1 - y0 * x1
+    e0 = jnp.where(e0 == 0.0, diff_of_products(x1, y2, y1, x2), e0)
+    e1 = jnp.where(e1 == 0.0, diff_of_products(x2, y0, y2, x0), e1)
+    e2 = jnp.where(e2 == 0.0, diff_of_products(x0, y1, y0, x1), e2)
+
+    mixed = ((e0 < 0) | (e1 < 0) | (e2 < 0)) & ((e0 > 0) | (e1 > 0) | (e2 > 0))
+    det = e0 + e1 + e2
+    t = (e0 * z0 + e1 * z1 + e2 * z2) * sz / jnp.where(det == 0, 1.0, det)
+    ok = (~mixed) & (jnp.abs(det) > 0) & (t > t0) & (t < t_lim_col)
+    return jnp.where(ok, t, MISS_T)
+
+
 def _bitw16():
     return jnp.left_shift(
         jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
     )
 
 
-def _closest_kernel(n_groups, t0, order_smem, rays_ref, rcol_ref, super_ref,
-                    bitw_ref, child_ref, tri_ref, t_out, slot_out):
+def _closest_kernel(n_groups, t0, watertight, order_smem, rays_ref, rcol_ref,
+                    super_ref, bitw_ref, child_ref, tri_ref, t_out, slot_out):
     o, d, inv, t1 = _ray_planes(rays_ref)
     rcol = rcol_ref[...]                                  # (128, 8)
     oc = (rcol[:, 0:1], rcol[:, 1:2], rcol[:, 2:3])
@@ -217,8 +281,10 @@ def _closest_kernel(n_groups, t0, order_smem, rays_ref, rcol_ref, super_ref,
     smask = _box_slab(super_ref[...], o, inv, t0, t1)
     words = _pack_bits(smask, bitw_ref[...], n_groups)
 
+    leaf_tm = _leaf_wt if watertight else _leaf_mt
+
     def leaf(j, t_best, slot_best):
-        tm = _leaf_mt(tri_ref, j, oc, dc, t0, jnp.minimum(t_best, t1c))
+        tm = leaf_tm(tri_ref, j, oc, dc, t0, jnp.minimum(t_best, t1c))
         # ONE cross-lane reduction instead of min+argmin: t is positive, so
         # its f32 bits order like the float; steal the mantissa's low 7
         # bits for the winning lane (t loses <= 2^-17 relative precision —
@@ -281,8 +347,8 @@ def _closest_kernel(n_groups, t0, order_smem, rays_ref, rcol_ref, super_ref,
     slot_out[...] = slot_best
 
 
-def _anyhit_kernel(n_groups, t0, order_smem, rays_ref, rcol_ref, super_ref,
-                   bitw_ref, child_ref, tri_ref, occ_out):
+def _anyhit_kernel(n_groups, t0, watertight, order_smem, rays_ref, rcol_ref,
+                   super_ref, bitw_ref, child_ref, tri_ref, occ_out):
     o, d, inv, t1 = _ray_planes(rays_ref)
     rcol = rcol_ref[...]
     oc = (rcol[:, 0:1], rcol[:, 1:2], rcol[:, 2:3])
@@ -292,6 +358,7 @@ def _anyhit_kernel(n_groups, t0, order_smem, rays_ref, rcol_ref, super_ref,
 
     smask = _box_slab(super_ref[...], o, inv, t0, t1)
     words = _pack_bits(smask, bitw_ref[...], n_groups)
+    leaf_tm = _leaf_wt if watertight else _leaf_mt
 
     def visit(s, occ):
         # occ lives in column form (the leaf's output space); occluded rays
@@ -303,8 +370,8 @@ def _anyhit_kernel(n_groups, t0, order_smem, rays_ref, rcol_ref, super_ref,
         def lbody(carry):
             cb, occ = carry
             c = _ctz_low(cb & -cb)
-            tm = _leaf_mt(tri_ref, s * GROUP + c, oc, dc, t0,
-                          jnp.where(occ > 0, t0, t1c))
+            tm = leaf_tm(tri_ref, s * GROUP + c, oc, dc, t0,
+                         jnp.where(occ > 0, t0, t1c))
             any_hit = jnp.sum(
                 (tm < MISS_T).astype(jnp.int32), axis=1, keepdims=True
             )
@@ -380,14 +447,14 @@ _COMMON_IN_SPECS = [
 ]
 
 
-@partial(jax.jit, static_argnames=("t0", "interpret"))
+@partial(jax.jit, static_argnames=("t0", "watertight", "interpret"))
 def _sweep(cs: ClusterScene, rays_lane, rays_col, order, super_sorted, t0,
-           interpret=False):
+           watertight=False, interpret=False):
     n = rays_col.shape[0]
     grid = (n // RAY_TILE,)
     n_groups = cs.super_cols.shape[0] // 32
     t, slot = pl.pallas_call(
-        partial(_closest_kernel, n_groups, t0),
+        partial(_closest_kernel, n_groups, t0, watertight),
         grid=grid,
         in_specs=_COMMON_IN_SPECS,
         out_specs=[
@@ -405,14 +472,14 @@ def _sweep(cs: ClusterScene, rays_lane, rays_col, order, super_sorted, t0,
     return t[:, 0], slot[:, 0]
 
 
-@partial(jax.jit, static_argnames=("t0", "interpret"))
+@partial(jax.jit, static_argnames=("t0", "watertight", "interpret"))
 def _sweep_any(cs: ClusterScene, rays_lane, rays_col, order, super_sorted, t0,
-               interpret=False):
+               watertight=False, interpret=False):
     n = rays_col.shape[0]
     grid = (n // RAY_TILE,)
     n_groups = cs.super_cols.shape[0] // 32
     occ = pl.pallas_call(
-        partial(_anyhit_kernel, n_groups, t0),
+        partial(_anyhit_kernel, n_groups, t0, watertight),
         grid=grid,
         in_specs=_COMMON_IN_SPECS,
         out_specs=pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
@@ -445,7 +512,7 @@ def _prepare(cs, ro, rd, t1, sort):
 
 
 def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
-                interpret=False):
+                watertight=False, interpret=False):
     """Wavefront closest hit. ro, rd (N, 3); t1 scalar or (N,).
 
     Returns (hit (N,) bool, t (N,) f32, face (N,) i32 original ids) — the
@@ -474,7 +541,7 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
     lane, cols, perm, n = _prepare(cs, ro, rd, t1, sort)
     order, super_sorted = _sc_order(cs, ro[:n] if perm is None else ro)
     t, slot = _sweep(cs, lane, cols, order, super_sorted, float(t0),
-                     interpret=interpret)
+                     watertight=watertight, interpret=interpret)
     t, slot = t[:n], slot[:n]
     if perm is not None:
         inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))
@@ -484,7 +551,8 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
     return hit, jnp.where(hit, t, 0.0), face.astype(jnp.int32)
 
 
-def occluded(cs: ClusterScene, ro, rd, t0, t1, sort=False, interpret=False):
+def occluded(cs: ClusterScene, ro, rd, t0, t1, sort=False, watertight=False,
+             interpret=False):
     """Any-hit shadow query: True where some triangle lies in (t0, t1).
 
     Dedicated kernel: rays retire as soon as anything occludes them and a
@@ -501,7 +569,7 @@ def occluded(cs: ClusterScene, ro, rd, t0, t1, sort=False, interpret=False):
     lane, cols, perm, n = _prepare(cs, ro, rd, t1, sort)
     order, super_sorted = _sc_order(cs, ro[:n] if perm is None else ro)
     occ = _sweep_any(cs, lane, cols, order, super_sorted, float(t0),
-                     interpret=interpret)
+                     watertight=watertight, interpret=interpret)
     occ = occ[:n]
     if perm is not None:
         inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))

@@ -163,3 +163,67 @@ def test_wavefront_shared_edge_no_leak():
     assert np.asarray(hit_w).all(), (
         f"watertight leaked {int((~np.asarray(hit_w)).sum())} of {n} edge rays"
     )
+
+
+def test_cluster_watertight_shared_edge_no_leak():
+    """The cluster backend's watertight leaf (kernels/pallas_cluster.py
+    _leaf_wt, selected by watertight=True / RenderConfig.cluster_watertight)
+    catches every exact-diagonal ray that plain Moeller-Trumbore leaves can
+    leak — the same 4096-ray hunt as test_wavefront_shared_edge_no_leak but
+    through the cluster traversal (interpret mode).
+
+    Reference: mathematics/intersection_taichi.py:94-161 exists precisely
+    for the large-mesh path where shared edges dominate.
+    """
+    from pyrenderer_tpu.accel.clusters import build_clusters
+    from pyrenderer_tpu.kernels.pallas_cluster import closest_hit, occluded
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    cs = build_clusters(verts, faces)
+
+    n = 4096
+    ts = np.linspace(1e-4, 1.0 - 1e-4, n).astype(np.float32)
+    on_edge = np.stack([ts, ts, np.zeros(n, np.float32)], axis=1)
+    ro = on_edge + np.asarray([0.0, 0.0, 1.0], np.float32)
+    rd = np.broadcast_to(np.asarray([0.0, 0.0, -1.0], np.float32), (n, 3))
+
+    hit, t, face = closest_hit(
+        cs, jnp.asarray(ro), jnp.asarray(rd), 1e-5, 10.0,
+        watertight=True, interpret=True,
+    )
+    hit = np.asarray(hit)
+    assert hit.all(), f"watertight cluster leaves leaked {(~hit).sum()} rays"
+    np.testing.assert_allclose(np.asarray(t)[hit], 1.0, rtol=1e-4)
+
+    occ = np.asarray(occluded(
+        cs, jnp.asarray(ro), jnp.asarray(rd), 1e-5, 10.0,
+        watertight=True, interpret=True,
+    ))
+    assert occ.all()
+
+
+def test_cluster_watertight_matches_mt_off_edges(scene):
+    """Away from shared edges the watertight leaf and plain MT agree."""
+    from pyrenderer_tpu.accel.clusters import build_clusters
+    from pyrenderer_tpu.kernels.pallas_cluster import closest_hit
+
+    cs = build_clusters(scene.vertices, scene.faces)
+    rs = np.random.RandomState(9)
+    n = 512
+    ro = jnp.asarray(rs.uniform(-0.8, 0.8, (n, 3)) + [0, 1, 0], jnp.float32)
+    rd = rs.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd)
+
+    h_mt, t_mt, f_mt = closest_hit(cs, ro, rd, 1e-5, 100.0, interpret=True)
+    h_wt, t_wt, f_wt = closest_hit(
+        cs, ro, rd, 1e-5, 100.0, watertight=True, interpret=True
+    )
+    assert (np.asarray(h_mt) == np.asarray(h_wt)).mean() > 0.99
+    both = np.asarray(h_mt) & np.asarray(h_wt)
+    np.testing.assert_allclose(
+        np.asarray(t_mt)[both], np.asarray(t_wt)[both], rtol=2e-3, atol=1e-4
+    )
