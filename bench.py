@@ -17,6 +17,7 @@ Env knobs:
   BENCH_CHUNK   rays per dispatch chunk (default 2^18)
   BENCH_ESTIMATOR  reference (default) | pbrt
   BENCH_WATERTIGHT 1 -> cluster backend uses watertight leaves
+  BENCH_SORT       0 -> disable the wavefront coherence sort (default on)
 
 perf/RESULTS.md records measured values for each on the real chip.
 """
@@ -73,6 +74,7 @@ def main():
     scene_name = os.environ.get("BENCH_SCENE", "cornell")
     estimator = os.environ.get("BENCH_ESTIMATOR", "reference")
     watertight = os.environ.get("BENCH_WATERTIGHT", "0") == "1"
+    sort = os.environ.get("BENCH_SORT", "1") == "1"
     scene, camera, def_res, def_spp, metric = load_bench_scene(scene_name)
 
     res = int(os.environ.get("BENCH_RES", str(def_res)))
@@ -86,7 +88,7 @@ def main():
 
     camera = camera._replace(resolution=(res, res))
     cfg = RenderConfig(max_bounces=4, spp=spp, seed=0, estimator=estimator,
-                       cluster_watertight=watertight)
+                       cluster_watertight=watertight, cluster_sort=sort)
     w, h = camera.resolution
 
     ys, xs = np.mgrid[0:h, 0:w]
@@ -137,6 +139,7 @@ def main():
 
     tag = "" if estimator == "reference" else f",{estimator}"
     tag += ",watertight" if watertight else ""
+    tag += ",nosort" if not sort else ""
     print(
         f"bench[{scene_name}{tag}]: {w}x{h}, {scene.faces.shape[0]} tris, "
         f"{spp} passes, chunk={chunk} ({n_chunks} chunks/pass), "
@@ -166,7 +169,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": metric + ("_" + estimator if estimator != "reference" else "") + ("_watertight" if watertight else ""),
+                "metric": metric
+                + ("_" + estimator if estimator != "reference" else "")
+                + ("_watertight" if watertight else "")
+                + ("_nosort" if not sort else ""),
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 100.0, 3),

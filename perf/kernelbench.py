@@ -265,11 +265,14 @@ def bench_sweep(res=224):
           f"{cs.n_superclusters} supers ({time.time()-t0:.1f}s)")
 
     n = N_TILES * RAY_TILE
-    rng = np.random.default_rng(1)
-    # camera-like: one origin above the terrain, directions toward a grid
+    w, h = 256, n // 256
+    # camera-like: one origin above the terrain, directions through a
+    # row-major pixel grid (coherent tiles, like a real primary wavefront)
+    ys, xs = np.mgrid[0:h, 0:w]
+    u = (xs.ravel() + 0.5) / w - 0.5
+    v = (ys.ravel() + 0.5) / h - 0.5
     ro = jnp.broadcast_to(jnp.asarray([0.0, 1.2, 1.4], jnp.float32), (n, 3))
-    px = rng.uniform(-0.5, 0.5, (n, 2))
-    target = np.stack([px[:, 0], np.zeros(n), px[:, 1]], axis=1)
+    target = np.stack([u, np.zeros(n), v], axis=1)
     rd = target - np.asarray(ro)
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)
     rd = jnp.asarray(rd, jnp.float32)
@@ -297,6 +300,7 @@ BENCHES = {
     "cond": bench_cond,
     "ctz": bench_ctz,
     "sweep": bench_sweep,
+    "sort": bench_sort,
 }
 
 
@@ -305,3 +309,37 @@ if __name__ == "__main__":
     print(f"device: {jax.devices()[0]}")
     for name in names:
         BENCHES[name]()
+
+
+# ---------------------------------------------------------------------------
+# sort: does the coherence sort pay for itself on incoherent wavefronts?
+# ---------------------------------------------------------------------------
+
+def bench_sort(res=224):
+    """Incoherent (bounce-like) wavefront through the cluster closest-hit,
+    sorted vs unsorted — decides whether the integrator should spend an
+    argsort per bounce (accel/clusters.sort_keys) or the claim goes."""
+    from pyrenderer_tpu.accel.clusters import build_clusters
+    from pyrenderer_tpu.kernels.pallas_cluster import closest_hit
+    from pyrenderer_tpu.scene.procgen import terrain
+
+    verts, faces = terrain(res)
+    cs = build_clusters(verts, faces)
+    n = N_TILES * RAY_TILE
+    rng = np.random.default_rng(2)
+    # bounce-like: origins scattered over the terrain surface, random dirs
+    ro = jnp.asarray(
+        np.stack([rng.uniform(-0.9, 0.9, n), rng.uniform(0.05, 0.4, n),
+                  rng.uniform(-0.9, 0.9, n)], axis=1), jnp.float32)
+    rd = rng.standard_normal((n, 3))
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rd = jnp.asarray(rd, jnp.float32)
+
+    for sort in (False, True):
+        f = repeat_jit(
+            lambda ro, rd, eps, s=sort: closest_hit(
+                cs, ro + eps, rd, 1e-4, 1e9, sort=s)[1])
+        np.asarray(f(ro, rd))
+        dt = timeit(f, ro, rd, reps=3)
+        print(f"sort={sort!s:5s}: {dt/N_TILES*1e6:8.2f} us/tile  "
+              f"{n/dt/1e6:8.1f} Mrays/s")

@@ -193,21 +193,25 @@ def _spread2(v):
 
 
 def sort_keys(cs: ClusterScene, ro, rd):
-    """(N,) uint32 coherence keys: direction octant (3 bits) | origin Morton
-    (15 bits, 5/axis). Rays sharing a key start in the same cell heading the
-    same broad way — exactly what makes a tile's cull masks agree."""
-    octant = (
-        (rd[:, 0] < 0).astype(jnp.uint32) * 4
-        + (rd[:, 1] < 0).astype(jnp.uint32) * 2
-        + (rd[:, 2] < 0).astype(jnp.uint32)
-    )
+    """(N,) uint32 coherence keys: origin Morton cell (15 bits, 5/axis,
+    major) | quantized direction (9 bits, 3/axis, minor). Rays sharing a
+    key start in the same cell heading the same way — exactly what makes a
+    tile's cull masks agree.
+
+    Origin-major: bounce wavefronts cluster by surface locality first. The
+    9 direction bits then order rays WITHIN a cell — crucial for
+    shared-origin sets (primary-like bundles), where an octant-only suffix
+    (the earlier design) left 1/8th of the sphere unsorted per group.
+    """
     q = jnp.clip(
         (ro - cs.world_lo) * cs.world_inv_span * 32.0, 0.0, 31.0
     ).astype(jnp.uint32)
     m = (
         (_spread2(q[:, 0]) << 2) | (_spread2(q[:, 1]) << 1) | _spread2(q[:, 2])
-    )
-    return (octant << jnp.uint32(15)) | (m & jnp.uint32(0x7FFF))
+    ) & jnp.uint32(0x7FFF)
+    d8 = jnp.clip((rd + 1.0) * 4.0, 0.0, 7.0).astype(jnp.uint32)  # 3 bits/axis
+    dir9 = (d8[:, 0] << 6) | (d8[:, 1] << 3) | d8[:, 2]
+    return (m << jnp.uint32(9)) | dir9
 
 
 # ---------------------------------------------------------------------------

@@ -288,6 +288,7 @@ def _closest(scene, tables, cfg, ro, rd, t1):
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
         return pc.closest_hit(tables.accel, ro, rd, cfg.t_min, t1,
+                              sort=cfg.cluster_sort,
                               watertight=cfg.cluster_watertight)
     if b == "watertight":
         from pyrenderer_tpu.core.watertight import intersect_watertight
@@ -316,6 +317,7 @@ def _any_hit(scene, tables, cfg, ro, rd, t1):
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
         return pc.occluded(tables.accel, ro, rd, cfg.t_min, t1,
+                           sort=cfg.cluster_sort,
                            watertight=cfg.cluster_watertight)
     if b == "watertight":
         from pyrenderer_tpu.core.watertight import occluded_watertight

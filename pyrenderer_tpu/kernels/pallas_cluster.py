@@ -51,6 +51,14 @@ out of the sweep once the whole tile is decided.
 The whole clustered scene is VMEM-resident (tri table (K*16, 128) f32 —
 8 KB per 128 triangles plus ~0.5 KB of boxes, ~180k triangles in a 12 MB
 budget), so traversal does zero HBM traffic beyond the ray tiles.
+
+Measured on the real v5e chip (perf/RESULTS.md has the full ablation):
+a full-width leaf costs 0.82 us in a slim loop; per-visit pack-extracts
+~0.5-1 us (vector->scalar sync); and WAVEFRONT ORDER dominates all of it —
+the same kernel spans 6.7 us/tile (pixel-ordered) to 213 us/tile
+(shuffled) on terrain100k. Hence the coherence sort (sort_keys) defaults
+on in RenderConfig.cluster_sort, SUB_TILES rays share each grid step, and
+per-ray t feedback rides a transpose rather than a scalar extraction.
 """
 
 from __future__ import annotations
@@ -73,7 +81,11 @@ from pyrenderer_tpu.accel.clusters import (
     sort_keys,
 )
 
-RAY_TILE = 128  # rays per grid step = VPU lane width
+RAY_TILE = 128  # rays per sweep tile = VPU lane width
+SUB_TILES = 8   # ray tiles per grid step: per-step DMA/pipeline overhead is
+                # ~10 us on the chip (measured, perf/kernelbench.py), which
+                # WAS the round-2 throughput floor at ~1 tile of real work
+                # per step; amortizing it 8-fold moves the floor to ~1 us
 
 # MISS_T with the low 7 mantissa bits cleared — the closest kernel tracks
 # t_best in this "masked" domain (see the key-packed leaf reduction), so
@@ -110,9 +122,10 @@ def _ctz_low(low):
     return jnp.where(is_min, jnp.int32(31), c)
 
 
-def _ray_planes(rays_ref):
-    """Split the (8, 128) lane-form ray block into (1, 128) component rows."""
-    r = rays_ref[...]
+def _ray_planes(rays_ref, st):
+    """Split sub-tile st of the (8 * SUB, 128) lane-form ray block into
+    (1, 128) component rows."""
+    r = rays_ref[pl.ds(st * 8, 8), :]
     o = (r[0:1, :], r[1:2, :], r[2:3, :])
     d = (r[3:4, :], r[4:5, :], r[5:6, :])
     t1 = r[6:7, :]
@@ -161,20 +174,44 @@ def _child_bits(child_ref, s, o, inv, t0, t_lim, bitw16):
     return jnp.sum(jnp.where(crossed, bitw16, 0))
 
 
-def _leaf_mt(tri_ref, j, oc, dc, t0, t_lim_col):
-    """(128 rays, 128 tris) Moeller-Trumbore for cluster j.
+# Feed the running per-ray t_best back into the child culls (one
+# (128,1)->(1,128) relayout per visited supercluster). Module-level so the
+# perf harness can A/B it; the relayout pays for itself whenever front-to-
+# back order lets near hits prune far superclusters.
+_TLANE_REFRESH = True
 
-    oc/dc: (128, 1) ray-component columns; t_lim_col (128, 1).
-    Returns tm (128, 128): accepted t values with MISS_T fills.
-    """
-    blk = tri_ref[pl.ds(j * TRI_ROWS, TRI_ROWS), :]       # (16, 128)
+# int32 bit pattern of MISS_T_MASKED: a lane key below this encodes a hit
+MISS_MASKED_BITS = int(
+    __import__("numpy").float32(MISS_T_MASKED).view(__import__("numpy").int32)
+)
+
+
+def _key_min(tm):
+    """(R, 128) accepted-t grid -> (R, 1) packed int32 key min over lanes.
+
+    ONE cross-lane reduction instead of min+argmin: t is positive, so its
+    f32 bits order like the float; the mantissa's low 7 bits carry the
+    winning lane (t loses <= 2^-17 relative precision — the integrator
+    re-derives exact t from the hit triangle anyway)."""
+    key = jnp.bitwise_or(
+        jnp.bitwise_and(
+            jax.lax.bitcast_convert_type(tm, jnp.int32), ~jnp.int32(127)
+        ),
+        jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1),
+    )
+    return jnp.min(key, axis=1, keepdims=True)
+
+
+def _leaf_mt_chunk(blk, oc, dc, t0, t_lim):
+    """(R rays, 128 tris) Moeller-Trumbore. oc/dc: (R, 1) columns; t_lim
+    (R, 1). Returns the (R, 1) key min (see _key_min)."""
     v0x, v0y, v0z = blk[0:1, :], blk[1:2, :], blk[2:3, :]
     e1x, e1y, e1z = blk[3:4, :], blk[4:5, :], blk[5:6, :]
     e2x, e2y, e2z = blk[6:7, :], blk[7:8, :], blk[8:9, :]
     ox, oy, oz = oc
     dx, dy, dz = dc
 
-    cx = e1y * dz - e1z * dy                              # (128, 128)
+    cx = e1y * dz - e1z * dy                              # (R, 128)
     cy = e1z * dx - e1x * dz
     cz = e1x * dy - e1y * dx
     det = cx * e2x + cy * e2y + cz * e2z
@@ -191,20 +228,20 @@ def _leaf_mt(tri_ref, j, oc, dc, t0, t_lim_col):
     ok = (
         (jnp.abs(det) > 0)
         & (t > t0)
-        & (t < t_lim_col)
+        & (t < t_lim)
         & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (1.0 - u - v >= 0.0)
     )
-    return jnp.where(ok, t, MISS_T)
+    return _key_min(jnp.where(ok, t, MISS_T))
 
 
-def _leaf_wt(tri_ref, j, oc, dc, t0, t_lim_col):
-    """(128 rays, 128 tris) PBRT shear WATERTIGHT test for cluster j —
-    the leak-free alternative to _leaf_mt (same contract), selected by
+def _leaf_wt_chunk(blk, oc, dc, t0, t_lim):
+    """(R rays, 128 tris) PBRT shear WATERTIGHT test — the leak-free
+    alternative to _leaf_mt_chunk (same contract), selected by
     `watertight=True` / RenderConfig.cluster_watertight.
 
     Algorithm of reference mathematics/intersection_taichi.py:94-161 in
     the kernel's dual layout: per-ray permutation/shear constants are
-    (128, 1) columns, triangle vertices are (1, 128) lane rows, and the
+    (R, 1) columns, triangle vertices are (1, 128) lane rows, and the
     axis permutation is two nested selects per component (core/
     watertight.py _permute does the same outside the kernel). The exact-
     zero edge-function fallback is the compensated difference-of-products
@@ -213,13 +250,12 @@ def _leaf_wt(tri_ref, j, oc, dc, t0, t_lim_col):
     """
     from pyrenderer_tpu.core.watertight import diff_of_products
 
-    blk = tri_ref[pl.ds(j * TRI_ROWS, TRI_ROWS), :]       # (16, 128)
     v0 = (blk[0:1, :], blk[1:2, :], blk[2:3, :])
     v1 = tuple(v0[a] + blk[3 + a:4 + a, :] for a in range(3))   # v0 + e1
     v2 = tuple(v0[a] + blk[6 + a:7 + a, :] for a in range(3))   # v0 + e2
     dx, dy, dz = dc
     adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-    domx = (adx >= ady) & (adx >= adz)                    # (128, 1) kz == 0
+    domx = (adx >= ady) & (adx >= adz)                    # (R, 1) kz == 0
     domy = ~domx & (ady >= adz)                           # kz == 1
 
     def sel(px, py, pz):
@@ -235,7 +271,7 @@ def _leaf_wt(tri_ref, j, oc, dc, t0, t_lim_col):
     sz = 1.0 / d_z
 
     def shear(v):
-        tx = v[0] - oc[0]                                 # (128, 128)
+        tx = v[0] - oc[0]                                 # (R, 128)
         ty = v[1] - oc[1]
         tz = v[2] - oc[2]
         pz = sel(tx, ty, tz)
@@ -257,8 +293,25 @@ def _leaf_wt(tri_ref, j, oc, dc, t0, t_lim_col):
     mixed = ((e0 < 0) | (e1 < 0) | (e2 < 0)) & ((e0 > 0) | (e1 > 0) | (e2 > 0))
     det = e0 + e1 + e2
     t = (e0 * z0 + e1 * z1 + e2 * z2) * sz / jnp.where(det == 0, 1.0, det)
-    ok = (~mixed) & (jnp.abs(det) > 0) & (t > t0) & (t < t_lim_col)
-    return jnp.where(ok, t, MISS_T)
+    ok = (~mixed) & (jnp.abs(det) > 0) & (t > t0) & (t < t_lim)
+    return _key_min(jnp.where(ok, t, MISS_T))
+
+
+def _leaf_reduce(tri_ref, j, rcol, t0, t_lim_col, watertight):
+    """Full 128-ray leaf for cluster j: (128 rays x 128 tris) at full
+    vector width, immediately reduced to the (128, 1) packed key min
+    (t bits | winning lane).
+
+    Measured on-chip (perf/RESULTS.md): the full-width evaluation in a
+    slim while-loop costs ~0.8 us; a 16-chunk (8, 128) "register-
+    resident" variant measured 2.4x SLOWER — Mosaic schedules the big
+    shapes fine and the chunking only multiplied bookkeeping.
+    """
+    blk = tri_ref[pl.ds(j * TRI_ROWS, TRI_ROWS), :]       # (16, 128)
+    f = _leaf_wt_chunk if watertight else _leaf_mt_chunk
+    oc = (rcol[:, 0:1], rcol[:, 1:2], rcol[:, 2:3])
+    dc = (rcol[:, 3:4], rcol[:, 4:5], rcol[:, 5:6])
+    return f(blk, oc, dc, t0, t_lim_col)                  # (128, 1)
 
 
 def _bitw16():
@@ -267,135 +320,141 @@ def _bitw16():
     )
 
 
-def _closest_kernel(n_groups, t0, watertight, order_smem, rays_ref, rcol_ref,
-                    super_ref, bitw_ref, child_ref, tri_ref, t_out, slot_out):
-    o, d, inv, t1 = _ray_planes(rays_ref)
-    rcol = rcol_ref[...]                                  # (128, 8)
-    oc = (rcol[:, 0:1], rcol[:, 1:2], rcol[:, 2:3])
-    dc = (rcol[:, 3:4], rcol[:, 4:5], rcol[:, 5:6])
-    t1c = rcol[:, 6:7]
+def _closest_kernel(n_groups, t0, watertight, sub, order_smem, rays_ref,
+                    rcol_ref, super_ref, bitw_ref, child_ref, tri_ref,
+                    t_out, slot_out):
     bitw16 = _bitw16()
 
-    # dense prepass over every supercluster box, t1-bounded per ray;
-    # super_ref rows are pre-sorted front-to-back, so bit rank == visit order
-    smask = _box_slab(super_ref[...], o, inv, t0, t1)
-    words = _pack_bits(smask, bitw_ref[...], n_groups)
+    def sub_tile(st, _):
+        o, d, inv, t1 = _ray_planes(rays_ref, st)
+        rcol = rcol_ref[pl.ds(st * RAY_TILE, RAY_TILE), :]    # (128, 8)
+        t1c = rcol[:, 6:7]
 
-    leaf_tm = _leaf_wt if watertight else _leaf_mt
+        # dense prepass over every supercluster box, t1-bounded per ray;
+        # super_ref rows are pre-sorted front-to-back, so bit rank == visit
+        # order
+        smask = _box_slab(super_ref[...], o, inv, t0, t1)
+        words = _pack_bits(smask, bitw_ref[...], n_groups)
 
-    def leaf(j, t_best, slot_best):
-        tm = leaf_tm(tri_ref, j, oc, dc, t0, jnp.minimum(t_best, t1c))
-        # ONE cross-lane reduction instead of min+argmin: t is positive, so
-        # its f32 bits order like the float; steal the mantissa's low 7
-        # bits for the winning lane (t loses <= 2^-17 relative precision —
-        # the integrator re-derives exact t from the hit triangle anyway)
-        key = jnp.bitwise_or(
-            jnp.bitwise_and(
-                jax.lax.bitcast_convert_type(tm, jnp.int32), ~jnp.int32(127)
-            ),
-            jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1),
-        )
-        kmin = jnp.min(key, axis=1, keepdims=True)        # (128, 1)
-        t_new = jax.lax.bitcast_convert_type(
-            jnp.bitwise_and(kmin, ~jnp.int32(127)), jnp.float32
-        )
-        lane = jnp.bitwise_and(kmin, 127)
-        better = t_new < t_best
-        t_best = jnp.where(better, t_new, t_best)
-        slot_best = jnp.where(better, j * LANE_TRIS + lane, slot_best)
-        return t_best, slot_best
-
-    def visit(s, t_best, slot_best, t_lane):
-        cbits = _child_bits(child_ref, s, o, inv, t0, t_lane, bitw16)
-
-        def lbody(carry):
-            cb, t_best, slot_best = carry
-            c = _ctz_low(cb & -cb)
-            t_best, slot_best = leaf(s * GROUP + c, t_best, slot_best)
-            return cb & (cb - 1), t_best, slot_best
-
-        _, t_best, slot_best = jax.lax.while_loop(
-            lambda c: c[0] != 0, lbody, (cbits, t_best, slot_best)
-        )
-        # refresh the lane-space per-ray bound: one (128,1)->(1,128)
-        # relayout per visited supercluster, no scalar extraction
-        t_lane = jnp.minimum(t1, jnp.transpose(jnp.minimum(t_best, t1c)))
-        return t_best, slot_best, t_lane
-
-    def sweep_word(g, word, carry):
-        def wbody(c):
-            word, t_best, slot_best, t_lane = c
-            rank = g * 32 + _ctz_low(word & -word)
-            s = order_smem[rank]
-            t_best, slot_best, t_lane = visit(s, t_best, slot_best, t_lane)
-            return word & (word - 1), t_best, slot_best, t_lane
-
-        carry = jax.lax.while_loop(
-            lambda c: c[0] != 0, wbody, (word, *carry)
-        )
-        return carry[1:]
-
-    carry = (
-        jnp.full((RAY_TILE, 1), MISS_T_MASKED, jnp.float32),
-        jnp.full((RAY_TILE, 1), -1, jnp.int32),
-        t1,                                               # (1, 128) per-ray
-    )
-    for g in range(n_groups):    # static: one while-loop per 32-super word
-        carry = sweep_word(g, words[g], carry)
-    t_best, slot_best, _ = carry
-    t_out[...] = t_best
-    slot_out[...] = slot_best
-
-
-def _anyhit_kernel(n_groups, t0, watertight, order_smem, rays_ref, rcol_ref,
-                   super_ref, bitw_ref, child_ref, tri_ref, occ_out):
-    o, d, inv, t1 = _ray_planes(rays_ref)
-    rcol = rcol_ref[...]
-    oc = (rcol[:, 0:1], rcol[:, 1:2], rcol[:, 2:3])
-    dc = (rcol[:, 3:4], rcol[:, 4:5], rcol[:, 5:6])
-    t1c = rcol[:, 6:7]
-    bitw16 = _bitw16()
-
-    smask = _box_slab(super_ref[...], o, inv, t0, t1)
-    words = _pack_bits(smask, bitw_ref[...], n_groups)
-    leaf_tm = _leaf_wt if watertight else _leaf_mt
-
-    def visit(s, occ):
-        # occ lives in column form (the leaf's output space); occluded rays
-        # contribute nothing further because their leaf t-window collapses
-        # to (t0, t0). The tile-level early break re-extracts ONE scalar
-        # per visit — occ can only change under a visit.
-        cbits = _child_bits(child_ref, s, o, inv, t0, t1, bitw16)
-
-        def lbody(carry):
-            cb, occ = carry
-            c = _ctz_low(cb & -cb)
-            tm = leaf_tm(tri_ref, s * GROUP + c, oc, dc, t0,
-                         jnp.where(occ > 0, t0, t1c))
-            any_hit = jnp.sum(
-                (tm < MISS_T).astype(jnp.int32), axis=1, keepdims=True
+        def leaf(j, t_best, slot_best):
+            kmin = _leaf_reduce(
+                tri_ref, j, rcol, t0, jnp.minimum(t_best, t1c), watertight
+            )                                             # (128, 1) keys
+            t_new = jax.lax.bitcast_convert_type(
+                jnp.bitwise_and(kmin, ~jnp.int32(127)), jnp.float32
             )
-            return cb & (cb - 1), jnp.maximum(occ, (any_hit > 0).astype(jnp.int32))
+            lane = jnp.bitwise_and(kmin, 127)
+            better = t_new < t_best
+            t_best = jnp.where(better, t_new, t_best)
+            slot_best = jnp.where(better, j * LANE_TRIS + lane, slot_best)
+            return t_best, slot_best
 
-        _, occ = jax.lax.while_loop(lambda c: c[0] != 0, lbody, (cbits, occ))
-        return occ, RAY_TILE - jnp.sum(occ)
+        def visit(s, t_best, slot_best, t_lane):
+            cbits = _child_bits(child_ref, s, o, inv, t0, t_lane, bitw16)
 
-    def sweep_word(g, word, carry):
-        def wbody(c):
-            word, occ, undecided = c
-            rank = g * 32 + _ctz_low(word & -word)
-            s = order_smem[rank]
-            occ, undecided = visit(s, occ)
-            return word & (word - 1), occ, undecided
+            def lbody(carry):
+                cb, t_best, slot_best = carry
+                c = _ctz_low(cb & -cb)
+                t_best, slot_best = leaf(s * GROUP + c, t_best, slot_best)
+                return cb & (cb - 1), t_best, slot_best
 
-        return jax.lax.while_loop(
-            lambda c: (c[0] != 0) & (c[2] > 0), wbody, (word, *carry)
-        )[1:]
+            _, t_best, slot_best = jax.lax.while_loop(
+                lambda c: c[0] != 0, lbody, (cbits, t_best, slot_best)
+            )
+            if _TLANE_REFRESH:
+                # refresh the lane-space per-ray bound: one (128,1)->(1,128)
+                # relayout per visited supercluster, no scalar extraction
+                t_lane = jnp.minimum(
+                    t1, jnp.transpose(jnp.minimum(t_best, t1c))
+                )
+            return t_best, slot_best, t_lane
 
-    carry = (jnp.zeros((RAY_TILE, 1), jnp.int32), jnp.int32(RAY_TILE))
-    for g in range(n_groups):
-        carry = sweep_word(g, words[g], carry)
-    occ_out[...] = carry[0]
+        def sweep_word(g, word, carry):
+            def wbody(c):
+                word, t_best, slot_best, t_lane = c
+                rank = g * 32 + _ctz_low(word & -word)
+                s = order_smem[rank]
+                t_best, slot_best, t_lane = visit(s, t_best, slot_best,
+                                                  t_lane)
+                return word & (word - 1), t_best, slot_best, t_lane
+
+            carry = jax.lax.while_loop(
+                lambda c: c[0] != 0, wbody, (word, *carry)
+            )
+            return carry[1:]
+
+        carry = (
+            jnp.full((RAY_TILE, 1), MISS_T_MASKED, jnp.float32),
+            jnp.full((RAY_TILE, 1), -1, jnp.int32),
+            t1,                                           # (1, 128) per-ray
+        )
+        for g in range(n_groups):   # static: one while-loop per 32-bit word
+            carry = sweep_word(g, words[g], carry)
+        t_best, slot_best, _ = carry
+        t_out[pl.ds(st * RAY_TILE, RAY_TILE), :] = t_best
+        slot_out[pl.ds(st * RAY_TILE, RAY_TILE), :] = slot_best
+        return 0
+
+    # SUB ray tiles share one grid step: per-step DMA/pipeline overhead
+    # (measured ~10 us — the round-2 throughput floor) amortizes sub-fold
+    jax.lax.fori_loop(0, sub, sub_tile, 0)
+
+
+def _anyhit_kernel(n_groups, t0, watertight, sub, order_smem, rays_ref,
+                   rcol_ref, super_ref, bitw_ref, child_ref, tri_ref,
+                   occ_out):
+    bitw16 = _bitw16()
+
+    def sub_tile(st, _):
+        o, d, inv, t1 = _ray_planes(rays_ref, st)
+        rcol = rcol_ref[pl.ds(st * RAY_TILE, RAY_TILE), :]
+        t1c = rcol[:, 6:7]
+
+        smask = _box_slab(super_ref[...], o, inv, t0, t1)
+        words = _pack_bits(smask, bitw_ref[...], n_groups)
+
+        def visit(s, occ):
+            # occ lives in column form (the leaf's output space); occluded
+            # rays contribute nothing further because their leaf t-window
+            # collapses to (t0, t0). The tile-level early break re-extracts
+            # ONE scalar per visit — occ can only change under a visit.
+            cbits = _child_bits(child_ref, s, o, inv, t0, t1, bitw16)
+
+            def lbody(carry):
+                cb, occ = carry
+                c = _ctz_low(cb & -cb)
+                kmin = _leaf_reduce(
+                    tri_ref, s * GROUP + c, rcol, t0,
+                    jnp.where(occ > 0, t0, t1c), watertight,
+                )
+                return cb & (cb - 1), jnp.maximum(
+                    occ, (kmin < MISS_MASKED_BITS).astype(jnp.int32)
+                )
+
+            _, occ = jax.lax.while_loop(
+                lambda c: c[0] != 0, lbody, (cbits, occ)
+            )
+            return occ, RAY_TILE - jnp.sum(occ)
+
+        def sweep_word(g, word, carry):
+            def wbody(c):
+                word, occ, undecided = c
+                rank = g * 32 + _ctz_low(word & -word)
+                s = order_smem[rank]
+                occ, undecided = visit(s, occ)
+                return word & (word - 1), occ, undecided
+
+            return jax.lax.while_loop(
+                lambda c: (c[0] != 0) & (c[2] > 0), wbody, (word, *carry)
+            )[1:]
+
+        carry = (jnp.zeros((RAY_TILE, 1), jnp.int32), jnp.int32(RAY_TILE))
+        for g in range(n_groups):
+            carry = sweep_word(g, words[g], carry)
+        occ_out[pl.ds(st * RAY_TILE, RAY_TILE), :] = carry[0]
+        return 0
+
+    jax.lax.fori_loop(0, sub, sub_tile, 0)
 
 
 def _sc_order(cs: ClusterScene, ro):
@@ -436,9 +495,9 @@ def _pack_rays(ro, rd, t1v):
 
 _COMMON_IN_SPECS = [
     pl.BlockSpec(memory_space=pltpu.SMEM),                # rank -> super id
-    pl.BlockSpec((8, RAY_TILE), lambda i: (i, 0),
+    pl.BlockSpec((8 * SUB_TILES, RAY_TILE), lambda i: (i, 0),
                  memory_space=pltpu.VMEM),                # rays lane-form
-    pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0),
+    pl.BlockSpec((RAY_TILE * SUB_TILES, 8), lambda i: (i, 0),
                  memory_space=pltpu.VMEM),                # rays col-form
     pl.BlockSpec(memory_space=pltpu.VMEM),                # sorted super rows
     pl.BlockSpec(memory_space=pltpu.VMEM),                # bit weights
@@ -451,16 +510,16 @@ _COMMON_IN_SPECS = [
 def _sweep(cs: ClusterScene, rays_lane, rays_col, order, super_sorted, t0,
            watertight=False, interpret=False):
     n = rays_col.shape[0]
-    grid = (n // RAY_TILE,)
+    grid = (n // (RAY_TILE * SUB_TILES),)
     n_groups = cs.super_cols.shape[0] // 32
     t, slot = pl.pallas_call(
-        partial(_closest_kernel, n_groups, t0, watertight),
+        partial(_closest_kernel, n_groups, t0, watertight, SUB_TILES),
         grid=grid,
         in_specs=_COMMON_IN_SPECS,
         out_specs=[
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((RAY_TILE * SUB_TILES, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((RAY_TILE * SUB_TILES, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -476,13 +535,13 @@ def _sweep(cs: ClusterScene, rays_lane, rays_col, order, super_sorted, t0,
 def _sweep_any(cs: ClusterScene, rays_lane, rays_col, order, super_sorted, t0,
                watertight=False, interpret=False):
     n = rays_col.shape[0]
-    grid = (n // RAY_TILE,)
+    grid = (n // (RAY_TILE * SUB_TILES),)
     n_groups = cs.super_cols.shape[0] // 32
     occ = pl.pallas_call(
-        partial(_anyhit_kernel, n_groups, t0, watertight),
+        partial(_anyhit_kernel, n_groups, t0, watertight, SUB_TILES),
         grid=grid,
         in_specs=_COMMON_IN_SPECS,
-        out_specs=pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((RAY_TILE * SUB_TILES, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
         interpret=interpret,
@@ -498,7 +557,7 @@ def _prepare(cs, ro, rd, t1, sort):
         ro, rd, t1v = ro[perm], rd[perm], t1v[perm]
     else:
         perm = None
-    pad = (-n) % RAY_TILE
+    pad = (-n) % (RAY_TILE * SUB_TILES)
     if pad:
         # padding rays: degenerate direction handled by the where() in
         # _ray_planes; t1 = 0 culls every box
