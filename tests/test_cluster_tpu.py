@@ -54,6 +54,8 @@ ro, rd = jnp.asarray(ro), jnp.asarray(rd)
 
 hit_k, t_k, face_k = jax.jit(
     lambda ro, rd: closest_hit(cs, ro, rd, 1e-4, 1e9))(ro, rd)
+hit_w, t_w, face_w = jax.jit(
+    lambda ro, rd: closest_hit(cs, ro, rd, 1e-4, 1e9, watertight=True))(ro, rd)
 hit_o, t_o, slot_o = jax.jit(
     lambda ro, rd: closest_hit_ref(cs, ro, rd, 1e-4, 1e9))(ro, rd)
 face_o = slot_to_face(cs, slot_o)
@@ -61,12 +63,17 @@ occ_k = jax.jit(lambda ro, rd: occluded(cs, ro, rd, 1e-4, 1.0))(ro, rd)
 occ_o = jax.jit(lambda ro, rd: occluded_ref(cs, ro, rd, 1e-4, 1.0))(ro, rd)
 
 hit_k, t_k, face_k = map(np.asarray, (hit_k, t_k, face_k))
+hit_w, t_w = np.asarray(hit_w), np.asarray(t_w)
 hit_o, t_o, face_o = map(np.asarray, (hit_o, t_o, face_o))
 occ_k, occ_o = np.asarray(occ_k), np.asarray(occ_o)
 
 both = hit_k & hit_o
 rel = np.abs(t_k[both] - t_o[both]) / np.maximum(t_o[both], 1e-6)
+both_w = hit_w & hit_k
+rel_w = np.abs(t_w[both_w] - t_k[both_w]) / np.maximum(t_k[both_w], 1e-6)
 print(json.dumps({
+    "wt_hit_agree": float((hit_w == hit_k).mean()),
+    "wt_t_rel_err_mean": float(rel_w.mean()),
     "n": int(n),
     "hit_rate_kernel": float(hit_k.mean()),
     "hit_rate_oracle": float(hit_o.mean()),
@@ -106,3 +113,7 @@ def test_compiled_cluster_kernel_matches_oracle_on_chip():
     assert stats["face_agree"] > 0.97, stats
     # shadow query is exact boolean parity up to boundary cases
     assert stats["occ_agree"] > 0.998, stats
+    # the compiled WATERTIGHT leaf agrees with the compiled MT leaf away
+    # from shared-edge cases (it can only ADD hits MT leaked)
+    assert stats["wt_hit_agree"] > 0.995, stats
+    assert stats["wt_t_rel_err_mean"] < 1e-4, stats
