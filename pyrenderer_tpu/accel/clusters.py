@@ -8,9 +8,11 @@ reference's intersection_taichi.py:256-287 walk) is hostile to the TPU's
 
 This module re-designs the accelerator around what the hardware does well:
 
-  - triangles are Morton-sorted and packed into CLUSTERS of 128 — one
-    cluster = one VPU lane row, so a cluster leaf test is a dense
-    (rays x 128) Moeller-Trumbore evaluated at full vector width;
+  - triangles are partitioned by recursive largest-axis median split
+    into CLUSTERS of 128 — one cluster = one VPU lane row, so a cluster
+    leaf test is a dense (rays x 128) Moeller-Trumbore at full vector
+    width (median split replaced the round-2 Morton slabs: tighter boxes,
+    measured 1.6x fewer-visit traversals on terrain100k);
   - 16 clusters form a SUPERCLUSTER; both levels carry AABBs. Traversal
     is a lockstep sweep: a ray TILE tests the supercluster box (vector,
     per-ray), a scalar any() decides whether the whole tile descends, and
@@ -22,8 +24,8 @@ This module re-designs the accelerator around what the hardware does well:
     sweep (wavefront coherence: a tile then touches few superclusters).
 
 The reference analog of the *build* is bvh_taichi.py:69-104 (median split +
-escape pointers); here the Morton sort gives the spatial split and the
-flat two-level layout replaces the tree. The *leaf test* is the batch
+escape pointers); here the same median-split idea yields a flat two-level
+layout instead of a pointer tree. The *leaf test* is the batch
 Moeller-Trumbore of mathematics/intersection.py:68-82, at (rays, 128) tile
 granularity.
 
@@ -40,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyrenderer_tpu.accel.bvh import GAMMA2_3, _morton3
+from pyrenderer_tpu.accel.bvh import GAMMA2_3
 
 LANE_TRIS = 128   # triangles per cluster = VPU lane width
 GROUP = 16        # clusters per supercluster
@@ -88,8 +90,33 @@ class ClusterScene:
         return self.tri.shape[0] // TRI_ROWS
 
 
+def _median_split_order(cent, leaf_size=LANE_TRIS):
+    """Permutation putting spatially-compact groups of `leaf_size`
+    triangles into contiguous blocks: recursive largest-axis median split,
+    with the split point rounded to a leaf_size multiple so every block
+    except the last is exactly full.
+
+    Tighter leaf AABBs than fixed slabs of a Morton sort (the round-2
+    build): a Morton slab can straddle a curve discontinuity and span the
+    scene diagonally, while a median split partitions by actual spread.
+    Recursion order doubles as the supercluster grouping (adjacent leaves
+    share a subtree, hence a compact parent box).
+    """
+    def split(idx):
+        if idx.shape[0] <= leaf_size:
+            return [idx]
+        c = cent[idx]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        idx = idx[np.argsort(c[:, ax], kind="stable")]
+        half = idx.shape[0] // 2
+        half = max(leaf_size, int(round(half / leaf_size)) * leaf_size)
+        return split(idx[:half]) + split(idx[half:])
+
+    return np.concatenate(split(np.arange(cent.shape[0], dtype=np.int64)))
+
+
 def build_clusters(vertices, faces) -> ClusterScene:
-    """Host-side build: Morton sort -> 128-triangle clusters -> AABB levels."""
+    """Host-side build: median-split order -> 128-tri clusters -> AABB levels."""
     v = np.asarray(vertices, np.float64)
     f = np.asarray(faces, np.int64)
     t = f.shape[0]
@@ -97,10 +124,7 @@ def build_clusters(vertices, faces) -> ClusterScene:
     tmin = tri.min(axis=1)
     tmax = tri.max(axis=1)
     cent = 0.5 * (tmin + tmax)
-    lo = cent.min(axis=0)
-    span = np.maximum(cent.max(axis=0) - lo, 1e-12)
-    codes = _morton3((cent - lo) / span)
-    order = np.argsort(codes, kind="stable").astype(np.int64)
+    order = _median_split_order(cent)
 
     k_real = -(-t // LANE_TRIS)
     k = -(-k_real // GROUP) * GROUP
