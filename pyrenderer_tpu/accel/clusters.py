@@ -61,8 +61,10 @@ class ClusterScene:
     every slab comparison against NaN is false, so the cull REALLY fails
     (an inverted min=+inf/max=-inf box would pass, because the slab test
     re-sorts lo/hi per axis — verified empirically). Padded triangle
-    slots in a partially-filled real cluster are all-zero, which the
-    leaf test rejects via det == 0 — a second, independent guard.
+    slots in a PARTIALLY-filled real cluster duplicate the last sorted
+    face (harmless: a duplicate hit is the same surface at the same t);
+    only fully-padded clusters are zero-filled, and those are already
+    masked by their NaN boxes.
     """
 
     tri: jnp.ndarray         # (K * TRI_ROWS, 128) f32 — rows v0|e1|e2 (9) + pad
