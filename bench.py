@@ -17,7 +17,9 @@ Env knobs:
   BENCH_CHUNK   rays per dispatch chunk (default 2^18)
   BENCH_ESTIMATOR  reference (default) | pbrt
   BENCH_WATERTIGHT 1 -> cluster backend uses watertight leaves
-  BENCH_SORT       0 -> disable the wavefront coherence sort (default on)
+  BENCH_SORT       0 | 1 | auto (default: sort only for >=32k-tri scenes)
+  BENCH_ROUNDS     cluster suspend/resume passes (default 1 = off)
+  BENCH_BUDGET     pass-1 supercluster visit budget per tile (default 8)
 
 perf/RESULTS.md records measured values for each on the real chip.
 """
@@ -33,6 +35,7 @@ import numpy as np
 SCENES = {
     # name -> (loader kwargs, default res, default spp, metric name)
     "cornell": (None, 1024, 16, "cornell_box_4bounce_mrays_per_sec_per_chip"),
+    "spheres": (None, 1024, 16, "spheres_4bounce_mrays_per_sec_per_chip"),
     "terrain8k": (dict(kind="terrain", res=64), 512, 4,
                   "terrain8k_4bounce_mrays_per_sec_per_chip"),
     "terrain100k": (dict(kind="terrain", res=224), 512, 4,
@@ -48,8 +51,9 @@ def load_bench_scene(name):
     procgen_kw, res, spp, metric = SCENES[name]
     if procgen_kw is None:
         root = os.path.dirname(os.path.abspath(__file__))
+        json_name = "cornell_box.json" if name == "cornell" else f"{name}.json"
         scene, camera, _ = load_tungsten(
-            os.path.join(root, "scenes", "cornell_box.json")
+            os.path.join(root, "scenes", json_name)
         )
     else:
         from pyrenderer_tpu.scene.procgen import big_scene_data
@@ -74,7 +78,8 @@ def main():
     scene_name = os.environ.get("BENCH_SCENE", "cornell")
     estimator = os.environ.get("BENCH_ESTIMATOR", "reference")
     watertight = os.environ.get("BENCH_WATERTIGHT", "0") == "1"
-    sort = os.environ.get("BENCH_SORT", "1") == "1"
+    sort = {"0": False, "1": True}.get(
+        os.environ.get("BENCH_SORT", "auto"), "auto")
     scene, camera, def_res, def_spp, metric = load_bench_scene(scene_name)
 
     res = int(os.environ.get("BENCH_RES", str(def_res)))
@@ -88,12 +93,19 @@ def main():
 
     camera = camera._replace(resolution=(res, res))
     cfg = RenderConfig(max_bounces=4, spp=spp, seed=0, estimator=estimator,
-                       cluster_watertight=watertight, cluster_sort=sort)
+                       cluster_watertight=watertight, cluster_sort=sort,
+                       cluster_rounds=int(os.environ.get("BENCH_ROUNDS", "1")),
+                       cluster_budget=int(os.environ.get("BENCH_BUDGET", "8")))
     w, h = camera.resolution
 
+    from pyrenderer_tpu.core.camera import morton_pixel_order
+
+    # Morton pixel order, exactly as render_image traces a real frame: each
+    # 128-ray tile is then a compact screen block (coherent primaries)
     ys, xs = np.mgrid[0:h, 0:w]
-    xs = jnp.asarray(xs.reshape(-1), jnp.int32)
-    ys = jnp.asarray(ys.reshape(-1), jnp.int32)
+    perm, _ = morton_pixel_order(w, h)
+    xs = jnp.asarray(xs.reshape(-1)[perm], jnp.int32)
+    ys = jnp.asarray(ys.reshape(-1)[perm], jnp.int32)
 
     n_chunks = (w * h + chunk - 1) // chunk
     # chunked pixel coords: (n_chunks, chunk) — statically indexed inside jit

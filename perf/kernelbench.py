@@ -294,23 +294,6 @@ def bench_sweep(res=224):
           f"{n/dt/1e6:8.1f} Mrays/s")
 
 
-BENCHES = {
-    "leaf": bench_leaf,
-    "extract": bench_extract,
-    "cond": bench_cond,
-    "ctz": bench_ctz,
-    "sweep": bench_sweep,
-    "sort": bench_sort,
-}
-
-
-if __name__ == "__main__":
-    names = sys.argv[1:] or list(BENCHES)
-    print(f"device: {jax.devices()[0]}")
-    for name in names:
-        BENCHES[name]()
-
-
 # ---------------------------------------------------------------------------
 # sort: does the coherence sort pay for itself on incoherent wavefronts?
 # ---------------------------------------------------------------------------
@@ -343,3 +326,20 @@ def bench_sort(res=224):
         dt = timeit(f, ro, rd, reps=3)
         print(f"sort={sort!s:5s}: {dt/N_TILES*1e6:8.2f} us/tile  "
               f"{n/dt/1e6:8.1f} Mrays/s")
+
+
+BENCHES = {
+    "leaf": bench_leaf,
+    "extract": bench_extract,
+    "cond": bench_cond,
+    "ctz": bench_ctz,
+    "sweep": bench_sweep,
+    "sort": bench_sort,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(BENCHES)
+    print(f"device: {jax.devices()[0]}")
+    for name in names:
+        BENCHES[name]()

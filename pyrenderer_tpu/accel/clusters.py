@@ -68,11 +68,16 @@ class ClusterScene:
     """
 
     tri: jnp.ndarray         # (K * TRI_ROWS, 128) f32 — rows v0|e1|e2 (9) + pad
-    child_box: jnp.ndarray   # (K, 128) f32 — one row per cluster, lanes
-                             # bmin.xyz|bmax.xyz (6 used; children of super-
-                             # cluster s are rows s*GROUP..s*GROUP+15, so the
-                             # kernel's (GROUP, 128) slice has children in
-                             # sublanes and broadcasts against rays in lanes)
+    child_box: jnp.ndarray   # (K + GROUP, 128) f32 — one row per cluster,
+                             # lanes bmin.xyz|bmax.xyz (6 used; children of
+                             # supercluster s are rows s*GROUP..s*GROUP+15,
+                             # so the kernel's (GROUP, 128) slice has
+                             # children in sublanes and broadcasts against
+                             # rays in lanes). The trailing GROUP rows are
+                             # all-NaN: the children of the DUMMY
+                             # supercluster id K//GROUP, used by the
+                             # kernel's pair-peeled sweep when a visit pops
+                             # only one real supercluster (dummy_super)
     super_box: jnp.ndarray   # (6, S) f32 — bmin.xyz|bmax.xyz columns per supercluster
     super_cols: jnp.ndarray  # (S_pad, 128) f32 — same boxes, one row per
                              # supercluster with comps in lanes 0..5, S
@@ -90,6 +95,13 @@ class ClusterScene:
     @property
     def n_clusters(self) -> int:
         return self.tri.shape[0] // TRI_ROWS
+
+    @property
+    def dummy_super(self) -> int:
+        """Supercluster id whose GROUP children are the trailing all-NaN
+        rows of child_box — a safe no-op second operand for the kernel's
+        pair-peeled visits."""
+        return self.n_clusters // GROUP
 
 
 def _median_split_order(cent, leaf_size=LANE_TRIS):
@@ -175,9 +187,13 @@ def build_clusters(vertices, faces) -> ClusterScene:
     cmin[k_real:] = np.nan
     cmax[k_real:] = np.nan
 
-    child = np.zeros((k, LANE_TRIS), np.float32)
-    child[:, 0:3] = cmin
-    child[:, 3:6] = cmax
+    # trailing GROUP all-NaN rows = the dummy supercluster's children (a
+    # safe second operand for the kernel's pair-peeled visits)
+    child = np.zeros((k + GROUP, LANE_TRIS), np.float32)
+    child[:k, 0:3] = cmin
+    child[:k, 3:6] = cmax
+    child[k:, 0:3] = np.nan
+    child[k:, 3:6] = np.nan
 
     s_pad = -(-s // 32) * 32
     super_cols = np.zeros((s_pad, LANE_TRIS), np.float32)
@@ -253,11 +269,14 @@ def _slab(bmin, bmax, o, inv_d, t0, t1):
     return t_near <= t_far
 
 
-def closest_hit_ref(cs: ClusterScene, ro, rd, t0, t1):
+def closest_hit_ref(cs: ClusterScene, ro, rd, t0, t1, watertight=False):
     """Dense pure-JAX twin of the Pallas cluster kernel.
 
     Tests every ray against every non-culled cluster with the same math
-    (cull by cluster AABB, then (N, 128) Moeller-Trumbore per cluster).
+    (cull by cluster AABB, then an (N, 128) triangle test per cluster —
+    Moeller-Trumbore, or the PBRT shear watertight test when
+    `watertight=True`, mirroring the kernel's leaf selection so the same
+    config gives the same hit set on CPU and TPU).
     O(N*K) — an oracle, not a fast path. Returns (hit, t, packed_slot)."""
     k = cs.n_clusters
     n = ro.shape[0]
@@ -273,25 +292,34 @@ def closest_hit_ref(cs: ClusterScene, ro, rd, t0, t1):
         t_best, slot_best = carry
         keep = _slab(cmin[j], cmax[j], ro, inv_d, t0, jnp.minimum(t_best, t1v))
         rows = tri[j]
-        v0 = rows[0:3].T[None]                      # (1, 128, 3)
-        e1 = rows[3:6].T[None]
-        e2 = rows[6:9].T[None]
-        d = rd[:, None, :]
-        o = ro[:, None, :]
-        c = jnp.cross(e1, d)                        # (N, 128, 3)
-        det = jnp.sum(c * e2, axis=-1)
-        inv = 1.0 / jnp.where(det == 0, 1.0, det)
-        s = o - v0
-        q = jnp.cross(s, e2)
-        t = -inv * jnp.sum(q * e1, axis=-1)
-        u = -inv * jnp.sum(q * d, axis=-1)
-        v = inv * jnp.sum(c * s, axis=-1)
+        v0 = rows[0:3].T                            # (128, 3)
+        e1 = rows[3:6].T
+        e2 = rows[6:9].T
+        if watertight:
+            from pyrenderer_tpu.core.watertight import watertight_terms
+
+            valid, t = watertight_terms(v0, v0 + e1, v0 + e2, ro, rd)
+            ok_geom = valid
+        else:
+            d = rd[:, None, :]
+            o = ro[:, None, :]
+            c = jnp.cross(e1[None], d)              # (N, 128, 3)
+            det = jnp.sum(c * e2[None], axis=-1)
+            inv = 1.0 / jnp.where(det == 0, 1.0, det)
+            s = o - v0[None]
+            q = jnp.cross(s, e2[None])
+            t = -inv * jnp.sum(q * e1[None], axis=-1)
+            u = -inv * jnp.sum(q * d, axis=-1)
+            v = inv * jnp.sum(c * s, axis=-1)
+            ok_geom = (
+                (jnp.abs(det) > 0)
+                & (u >= 0) & (u <= 1) & (v >= 0) & (1 - u - v >= 0)
+            )
         ok = (
             keep[:, None]
-            & (jnp.abs(det) > 0)
+            & ok_geom
             & (t > t0)
             & (t < jnp.minimum(t_best, t1v)[:, None])
-            & (u >= 0) & (u <= 1) & (v >= 0) & (1 - u - v >= 0)
         )
         tm = jnp.where(ok, t, MISS_T)
         t_new = jnp.min(tm, axis=1)
@@ -301,7 +329,10 @@ def closest_hit_ref(cs: ClusterScene, ro, rd, t0, t1):
         slot_best = jnp.where(better, j * LANE_TRIS + lane, slot_best)
         return (t_best, slot_best), None
 
-    init = (jnp.full((n,), MISS_T, dtype), jnp.full((n,), -1, jnp.int32))
+    # carries derive from `ro` (not fresh constants) so that under
+    # shard_map they inherit the mesh-varying type the scan body produces
+    zeros = ro[:, 0] * 0
+    init = (zeros + MISS_T, zeros.astype(jnp.int32) - 1)
     (t_best, slot_best), _ = jax.lax.scan(
         scan_cluster, init, jnp.arange(k, dtype=jnp.int32)
     )
@@ -309,11 +340,11 @@ def closest_hit_ref(cs: ClusterScene, ro, rd, t0, t1):
     return hit, jnp.where(hit, t_best, 0.0), slot_best
 
 
-def occluded_ref(cs: ClusterScene, ro, rd, t0, t1):
+def occluded_ref(cs: ClusterScene, ro, rd, t0, t1, watertight=False):
     """Pure-JAX any-hit twin (CPU fallback): True where something lies in
     (t0, t1). Closest-hit machinery reused — on the dense oracle path an
     early-out buys nothing."""
-    hit, _, _ = closest_hit_ref(cs, ro, rd, t0, t1)
+    hit, _, _ = closest_hit_ref(cs, ro, rd, t0, t1, watertight=watertight)
     return hit
 
 

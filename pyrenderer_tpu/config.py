@@ -44,12 +44,34 @@ class RenderConfig:
     #                                shear watertight test instead of plain
     #                                Moeller-Trumbore (~3x the leaf ALU cost;
     #                                for shared-edge-heavy meshes)
-    cluster_sort: bool = True      # coherence-sort wavefronts before the
-    #                                cluster sweep (accel/clusters.sort_keys:
+    cluster_sort: object = "auto"  # coherence-sort wavefronts before each
+    #                                cluster query (accel/clusters.sort_keys:
     #                                origin Morton | quantized direction).
-    #                                Measured: 2.5x on shuffled wavefronts,
-    #                                +35%% end-to-end on terrain100k
-    #                                (perf/RESULTS.md)
+    #                                True | False | "auto" (default): sort
+    #                                only when the scene is large enough
+    #                                that the kernel win beats the ~6 ms
+    #                                sort glue per 262k-ray query — chip-
+    #                                measured crossover (perf/RESULTS.md
+    #                                round 4): terrain8k runs 1.34x FASTER
+    #                                unsorted, terrain100k/blob82k ~7-10%%
+    #                                faster sorted; the auto threshold is
+    #                                integrator.AUTO_SORT_MIN_CLUSTERS.
+    cluster_rounds: int = 1        # suspend/resume passes for cluster
+    #                                closest-hit: pass 1 sweeps at most
+    #                                cluster_budget superclusters per tile
+    #                                (front-to-back), then unresolved rays
+    #                                are compacted to the front and finished
+    #                                unbudgeted. Default 1 (single
+    #                                exhaustive pass): measured on chip,
+    #                                2 rounds LOSE ~30%% end-to-end because
+    #                                bounce tiles virtually always contain
+    #                                miss-rays that need the full sweep, so
+    #                                no tile retires early and the resume
+    #                                pass re-pays most of the traversal
+    #                                (perf/RESULTS.md round 4).
+    cluster_budget: int = 8        # supercluster visit budget per 128-ray
+    #                                tile in pass 1 (even; visits pop in
+    #                                pairs). Only used when cluster_rounds>1.
     t_min: float = 1e-5            # reference tracing.py:125 hit epsilon
     t_max: float = 99999.9         # reference tracing.py:125
     output_file: str = "out.png"

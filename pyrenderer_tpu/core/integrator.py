@@ -83,6 +83,20 @@ def _safe_normalize(v):
 AUTO_BRUTE_MAX_TRIS = 4096
 
 
+# cluster_sort="auto" sorts wavefronts only for scenes of at least this
+# many 128-triangle clusters (~32k triangles). Chip-measured crossover
+# (perf/RESULTS.md round 4): the ~6 ms/query sort glue loses on terrain8k
+# (64 clusters, 1.34x faster unsorted) and wins on terrain100k/blob82k.
+AUTO_SORT_MIN_CLUSTERS = 256
+
+
+def resolve_cluster_sort(cfg: RenderConfig, accel) -> bool:
+    """Concrete sort decision for a cluster query ("auto" -> by scene size)."""
+    if cfg.cluster_sort == "auto":
+        return accel is not None and accel.n_clusters >= AUTO_SORT_MIN_CLUSTERS
+    return bool(cfg.cluster_sort)
+
+
 def default_backend() -> str:
     """Platform default with no scene knowledge (small-scene assumption)."""
     return "pallas" if jax.default_backend() == "tpu" else "brute"
@@ -269,7 +283,7 @@ class TraceTables(object):
                 self.bvh_e2 = v[ordered[:, 2]] - self.bvh_v0
 
 
-def _closest(scene, tables, cfg, ro, rd, t1):
+def _closest(scene, tables, cfg, ro, rd, t1, sort=None):
     b = tables.backend
     if b == "custom":
         return tables.closest_fn(ro, rd, t1)
@@ -287,9 +301,13 @@ def _closest(scene, tables, cfg, ro, rd, t1):
     if b == "cluster":
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
-        return pc.closest_hit(tables.accel, ro, rd, cfg.t_min, t1,
-                              sort=cfg.cluster_sort,
-                              watertight=cfg.cluster_watertight)
+        return pc.closest_hit(
+            tables.accel, ro, rd, cfg.t_min, t1,
+            sort=resolve_cluster_sort(cfg, tables.accel) if sort is None
+            else sort,
+            watertight=cfg.cluster_watertight,
+            rounds=cfg.cluster_rounds,
+            budget=cfg.cluster_budget)
     if b == "watertight":
         from pyrenderer_tpu.core.watertight import intersect_watertight
 
@@ -297,7 +315,7 @@ def _closest(scene, tables, cfg, ro, rd, t1):
     return isect.intersect_brute(scene, ro, rd, cfg.t_min, t1)
 
 
-def _any_hit(scene, tables, cfg, ro, rd, t1):
+def _any_hit(scene, tables, cfg, ro, rd, t1, sort=None):
     b = tables.backend
     if b == "custom":
         return tables.any_hit_fn(ro, rd, t1)
@@ -316,9 +334,11 @@ def _any_hit(scene, tables, cfg, ro, rd, t1):
     if b == "cluster":
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
-        return pc.occluded(tables.accel, ro, rd, cfg.t_min, t1,
-                           sort=cfg.cluster_sort,
-                           watertight=cfg.cluster_watertight)
+        return pc.occluded(
+            tables.accel, ro, rd, cfg.t_min, t1,
+            sort=resolve_cluster_sort(cfg, tables.accel) if sort is None
+            else sort,
+            watertight=cfg.cluster_watertight)
     if b == "watertight":
         from pyrenderer_tpu.core.watertight import occluded_watertight
 
@@ -354,6 +374,43 @@ def _sample_light_point(scene, tables, pixel_id, sample_id, bounce, seed, dtype)
     return p2, n2, em, pdf_a
 
 
+def use_wavefront_sort(tables, cfg) -> bool:
+    """True when the integrator should sort the WHOLE wavefront state once
+    per bounce (cluster backend) instead of letting each cluster query sort
+    its own inputs.
+
+    Theory said this should win (one argsort instead of two, shadow rays
+    inherit the bounce order, dead lanes compact to the tile tail);
+    the chip said otherwise: the full-state permutation (9 carried arrays
+    per bounce inside the scan) measured ~33 ms/bounce at 262k rays —
+    ~2.5x the per-query sort glue it replaced — and regressed terrain8k
+    4.6 -> 2.65 Mrays/s end-to-end (perf/RESULTS.md round 4). Isolated
+    gather microbenchmarks (~1.5 ms per (N, 3) gather) badly underpredict
+    the in-scan cost. Kept as an opt-in (PYRENDERER_WF_SORT=1) for future
+    re-evaluation; default is the measured-faster per-query sorting.
+    """
+    import os
+
+    if os.environ.get("PYRENDERER_WF_SORT", "0") != "1":
+        return False
+    return tables.backend == "cluster" and cfg.cluster_sort
+
+
+def wavefront_sort_perm(accel, ro, rd, alive):
+    """(N,) permutation: live rays in coherence-key order, dead lanes last.
+
+    Keys are accel/clusters.sort_keys (origin-Morton major | quantized
+    direction); dead lanes get the max key, so after sorting whole trailing
+    tiles are dead and the cluster kernel's t1 = 0 cull retires them in the
+    prepass. jnp.argsort is stable: equal-key rays keep their previous
+    relative order (bounce-over-bounce incremental coherence)."""
+    from pyrenderer_tpu.accel.clusters import sort_keys
+
+    keys = sort_keys(accel, sg(ro), sg(rd))
+    keys = jnp.where(alive, keys, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(keys)
+
+
 def trace_reference(
     scene: Scene,
     cfg: RenderConfig,
@@ -373,22 +430,42 @@ def trace_reference(
     (radiance, rays_traced) when with_stats — rays_traced counts closest-hit
     rays for live lanes plus NEE shadow rays (the honest Mrays/s numerator;
     masked-dead lanes are excluded even though the SIMD work still happens).
+
+    With the cluster backend the whole wavefront STATE is re-sorted once
+    per bounce (see use_wavefront_sort): pixel ids travel with their lanes
+    (the RNG is keyed on them, so per-pixel radiance is bit-identical) and
+    the final radiance is scattered back to the caller's lane order.
     """
     dtype = ro.dtype
     if tables is None:
         tables = TraceTables(scene, cfg, backend)
+    wf_sort = use_wavefront_sort(tables, cfg)
+    n = ro.shape[0]
+    pixel_arr = jnp.broadcast_to(pixel_id, (n,)).astype(jnp.uint32)
+    sample_arr = jnp.broadcast_to(sample_id, (n,)).astype(jnp.uint32)
 
     light_color = jnp.asarray(REF_LIGHT_COLOR, dtype)
 
     def bounce_step(state, bounce):
-        ro, rd, beta, radiance, alive, n_rays = state
+        if wf_sort:
+            (ro, rd, beta, radiance, alive, n_rays,
+             pixel_id, sample_id, orig) = state
+            p = wavefront_sort_perm(tables.accel, ro, rd, alive)
+            ro, rd, beta, radiance, alive = (
+                ro[p], rd[p], beta[p], radiance[p], alive[p])
+            pixel_id, sample_id, orig = pixel_id[p], sample_id[p], orig[p]
+        else:
+            ro, rd, beta, radiance, alive, n_rays = state
+            pixel_id, sample_id, orig = pixel_arr, sample_arr, None
+        alive_in = alive
         n_rays = n_rays + jnp.sum(alive, dtype=jnp.float32)
 
         # dead lanes trace with t1 = 0: every result is masked by `alive`
         # below anyway, and a zero interval lets the accelerated backends
         # (cluster/bvh) cull their box tests instead of re-walking stale rays
         t_clip = jnp.where(alive, jnp.asarray(cfg.t_max, dtype), 0.0)
-        hit, _, tri = _closest(scene, tables, cfg, ro, rd, t_clip)
+        hit, _, tri = _closest(scene, tables, cfg, ro, rd, t_clip,
+                               sort=False if wf_sort else None)
         tri = sg(jnp.maximum(tri, 0))
         hit = sg(hit)
 
@@ -456,7 +533,8 @@ def trace_reference(
         dist = jnp.sqrt(dist_sq)
         w = to_light / dist[:, None]
         shadow_t1 = jnp.where(alive, sg(dist) * (1.0 - cfg.shadow_eps), 0.0)
-        occ = _any_hit(scene, tables, cfg, sg(p), sg(w), shadow_t1)
+        occ = _any_hit(scene, tables, cfg, sg(p), sg(w), shadow_t1,
+                       sort=False if wf_sort else None)
         n_rays = n_rays + jnp.sum(alive, dtype=jnp.float32)
         dot1 = _dot(nrm, w)
         dot2 = _dot(n2, -w)
@@ -464,7 +542,7 @@ def trace_reference(
         contrib = em * (dot1 * dot2 / dist_sq)[:, None]
         radiance = radiance + jnp.where(nee_ok, beta * contrib, 0.0)
 
-        prev_alive = state[4]
+        prev_alive = alive_in
         ro = jnp.where(alive[:, None], p, ro)
         rd = jnp.where(alive[:, None], wi, rd)
         ys = None
@@ -478,7 +556,18 @@ def trace_reference(
                 radiance=radiance, nee_visible=(~occ) & alive,
                 light_point=p2,
             )
-        return (ro, rd, beta, radiance, alive, n_rays), ys
+            if orig is not None:
+                # records are in this bounce's sorted order; scatter each
+                # back to the caller's lane order so consumers see a stable
+                # per-pixel layout across bounces
+                ys = {k: jnp.zeros_like(v).at[orig].set(v)
+                      for k, v in ys.items()}
+        if wf_sort:
+            out = (ro, rd, beta, radiance, alive, n_rays,
+                   pixel_id, sample_id, orig)
+        else:
+            out = (ro, rd, beta, radiance, alive, n_rays)
+        return out, ys
 
     # Carries are derived from `ro` (not fresh constants) so that under
     # shard_map they inherit the mesh-varying type the scan body produces.
@@ -491,9 +580,21 @@ def trace_reference(
         zeros[:, 0] == 0,                       # alive (all True)
         jnp.sum(zeros[:, 0]).astype(jnp.float32),  # n_rays
     )
-    (ro, rd, beta, radiance, alive, n_rays), ys = jax.lax.scan(
+    if wf_sort:
+        # orig derives from ro so it carries the same varying-manual-axes
+        # type as the permuted body output under shard_map
+        orig0 = jnp.arange(n, dtype=jnp.int32) + zeros[:, 0].astype(jnp.int32)
+        init = init + (pixel_arr + zeros[:, 0].astype(jnp.uint32),
+                       sample_arr + zeros[:, 0].astype(jnp.uint32), orig0)
+    final, ys = jax.lax.scan(
         bounce_step, init, jnp.arange(cfg.max_bounces, dtype=jnp.uint32)
     )
+    radiance, n_rays = final[3], final[5]
+    if wf_sort:
+        # lanes ended in the LAST bounce's sorted order; orig maps each lane
+        # back to its caller index
+        orig = final[8]
+        radiance = jnp.zeros_like(radiance).at[orig].set(radiance)
     if collect_paths:
         return radiance, ys
     if with_stats:

@@ -33,6 +33,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -98,6 +99,39 @@ def shard_geometry(scene: Scene, cfg: RenderConfig, gp: int):
     return (shard(v0), shard(e1), shard(e2)), shard(face_data), light_data
 
 
+def build_shard_clusters(scene: Scene, gp: int):
+    """Host-side: one ClusterScene per triangle shard, stacked leaf-wise
+    into a (gp, ...) pytree for a P("gp") shard_map input.
+
+    This is what composes "large scene" with "multi-chip": each device
+    traverses only ITS shard through the cluster sweep (the lockstep
+    Pallas kernel on TPU, the dense pure-JAX twin elsewhere) instead of
+    the O(T_local) brute path, and the existing all_gather/argmin/psum
+    combine produces the global hit exactly as before.
+
+    Shards are zero-padded to equal triangle counts so every per-shard
+    build has identical shapes (stackable): a zero face row references
+    vertex 0 with e1 = e2 = 0, so its det == 0 and it can never win a hit;
+    its point AABB costs at most a spurious box test near that vertex.
+    """
+    from pyrenderer_tpu.accel.clusters import build_clusters
+
+    v = np.asarray(scene.vertices)
+    f = np.asarray(scene.faces)
+    t = f.shape[0]
+    t_local = (t + gp - 1) // gp
+    shards = []
+    for g in range(gp):
+        fl = f[g * t_local:(g + 1) * t_local]
+        pad = t_local - fl.shape[0]
+        if pad:
+            fl = np.concatenate([fl, np.zeros((pad, 3), f.dtype)])
+        shards.append(build_clusters(v, fl))
+    return jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *shards
+    )
+
+
 def _strip_scene(scene: Scene) -> Scene:
     """Keep only the light metadata the integrator reads from `scene` when
     every geometry access goes through custom hooks — so the replicated
@@ -118,13 +152,22 @@ def render_field_geometry_sharded(
     mesh: Mesh,
     pixel_x,
     pixel_y,
+    cluster_stack=None,
 ):
     """Mean radiance (N, 3) with triangles sharded over "gp" and pixels over
     "dp". Numerically identical to the single-device render (the min/argmin
     combine and masked psums are exact — no reassociation of sums).
+
+    cluster_stack: optional (gp, ...)-stacked per-shard ClusterScene from
+    build_shard_clusters (built on HOST arrays, outside jit). Each device
+    then runs the accelerated cluster sweep over its own shard — the
+    composition of the scene-size axis with the device axis that large
+    scenes need; None keeps the O(T_local) dense intersector (fine for
+    small shards, and the oracle the cluster path is tested against).
     """
     gp = mesh.shape["gp"]
     tri_shards, face_shards, light_data = shard_geometry(scene, cfg, gp)
+    cs_stack = cluster_stack
     t_local = face_shards.shape[1]
     scene_l = _strip_scene(scene)
     strata = int(math.ceil(math.sqrt(cfg.spp))) if cfg.stratified else 0
@@ -137,32 +180,63 @@ def render_field_geometry_sharded(
         f"pixel count {n_rays_total} must divide over dp*gp = {dp * gp}"
     )
 
+    in_specs = (P(), P(), P("dp"), P("dp"),
+                P("gp"), P("gp"), P("gp"), P("gp"), P())
+    if cs_stack is not None:
+        in_specs = in_specs + (P("gp"),)
+
+    # Every gp device computes the identical (N/dp, 3) block (the hit
+    # combine is a psum), so each device RETURNS its own gp-slice of the
+    # rows and the out spec reassembles them. Exact: pure data movement,
+    # no math. check_vma on: the bounce-scan carries enter gp-varying
+    # (rays promoted below via pvary) and psum-combined body outputs
+    # are re-promoted to match (integrator_pbrt._match_vma), so the
+    # static varying-axes checker types the whole body; the parity
+    # tests (tests/test_dist_geometry.py) also verify replication
+    # dynamically.
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P("dp"), P("dp"),
-                  P("gp"), P("gp"), P("gp"), P("gp"), P()),
-        # Every gp device computes the identical (N/dp, 3) block (the hit
-        # combine is a psum), so each device RETURNS its own gp-slice of the
-        # rows and the out spec reassembles them. Exact: pure data movement,
-        # no math. check_vma on: the bounce-scan carries enter gp-varying
-        # (rays promoted below via pvary) and psum-combined body outputs
-        # are re-promoted to match (integrator_pbrt._match_vma), so the
-        # static varying-axes checker types the whole body; the parity
-        # tests (tests/test_dist_geometry.py) also verify replication
-        # dynamically.
+        in_specs=in_specs,
         out_specs=P(("dp", "gp")),
         check_vma=True,
     )
-    def shard_render(scene_l, camera, px, py, v0s, e1s, e2s, fds, light_data):
+    def shard_render(scene_l, camera, px, py, v0s, e1s, e2s, fds, light_data,
+                     *rest):
         v0l, e1l, e2l, fdl = v0s[0], e1s[0], e2s[0], fds[0]
         base = jax.lax.axis_index("gp").astype(jnp.int32) * t_local
 
+        if rest:
+            # accelerated per-shard traversal: the cluster sweep over THIS
+            # device's shard only (Pallas kernel on TPU, pure-JAX twin
+            # elsewhere); zero-padded faces have det == 0 and never win
+            from pyrenderer_tpu.core.integrator import resolve_cluster_sort
+            from pyrenderer_tpu.kernels import pallas_cluster as pc
+
+            cs_l = jax.tree.map(lambda x: x[0], rest[0])
+            do_sort = resolve_cluster_sort(cfg, cs_l)
+
+            def local_closest(ro, rd, t1):
+                return pc.closest_hit(cs_l, ro, rd, cfg.t_min, t1,
+                                      sort=do_sort)
+
+            def local_occluded(ro, rd, t1):
+                return pc.occluded(cs_l, ro, rd, cfg.t_min, t1,
+                                   sort=do_sort)
+        else:
+            def local_closest(ro, rd, t1):
+                return isect.intersect_brute_arrays(
+                    v0l, e1l, e2l, ro, rd, cfg.t_min, t1
+                )
+
+            def local_occluded(ro, rd, t1):
+                return isect.occluded_arrays(
+                    v0l, e1l, e2l, ro, rd, cfg.t_min, t1
+                )
+
         def closest(ro, rd, t1):
-            hit_l, t_l, tri_l = isect.intersect_brute_arrays(
-                v0l, e1l, e2l, ro, rd, cfg.t_min, t1
-            )
-            t_m = jnp.where(hit_l, t_l, big)
+            hit_l, t_l, tri_l = local_closest(ro, rd, t1)
+            t_m = jnp.where(hit_l, t_l.astype(big.dtype), big)
             t_all = jax.lax.all_gather(t_m, "gp")          # (gp, N) — tiny
             winner = jnp.argmin(t_all, axis=0)             # unique per ray
             t_min = jnp.min(t_all, axis=0)
@@ -174,7 +248,7 @@ def render_field_geometry_sharded(
             return hit_g, jnp.where(hit_g, t_min, 0.0), tri_g
 
         def any_hit(ro, rd, t1):
-            occ_l = isect.occluded_arrays(v0l, e1l, e2l, ro, rd, cfg.t_min, t1)
+            occ_l = local_occluded(ro, rd, t1)
             return jax.lax.psum(occ_l.astype(jnp.int32), "gp") > 0
 
         def fetch_face(tri_g):
@@ -211,9 +285,11 @@ def render_field_geometry_sharded(
         gp_idx = jax.lax.axis_index("gp")
         return jax.lax.dynamic_slice_in_dim(local, gp_idx * chunk, chunk)
 
-    return shard_render(
-        scene_l, camera, pixel_x, pixel_y, *tri_shards, face_shards, light_data
-    )
+    args = (scene_l, camera, pixel_x, pixel_y, *tri_shards, face_shards,
+            light_data)
+    if cs_stack is not None:
+        args = args + (cs_stack,)
+    return shard_render(*args)
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh"))
@@ -227,18 +303,24 @@ def train_step_geometry(
     pixel_x,
     pixel_y,
     lr,
+    cluster_stack=None,
 ):
     """Inverse-rendering step with the scene geometry sharded over "gp".
 
     Gradients w.r.t. the face-table shards arrive on their owning devices
     (psum transpose) and are re-assembled into dense (vertices, albedo,
     emission) grads by the host-side shard pack's transpose.
+    cluster_stack: optional per-shard accelerator from build_shard_clusters
+    (host-built, passed through jit as an ordinary pytree; hit selection is
+    detached, so a fixed accel stays a valid traversal oracle while the
+    vertices take small training steps).
     """
 
     def loss_fn(params):
         vertices, albedo, emission = params
         s = scene._replace(vertices=vertices, albedo=albedo, emission=emission)
-        img = render_field_geometry_sharded(s, camera, cfg, mesh, pixel_x, pixel_y)
+        img = render_field_geometry_sharded(s, camera, cfg, mesh, pixel_x,
+                                            pixel_y, cluster_stack=cluster_stack)
         return jnp.mean((img - target) ** 2)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)

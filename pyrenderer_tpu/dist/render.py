@@ -52,24 +52,29 @@ def render_field_sharded(
     mesh: Mesh,
     pixel_x,
     pixel_y,
+    accel=None,
 ):
     """Mean radiance (N, 3) for the given pixels, sharded (dp: pixels,
     sp: spp). The scene is replicated (it is small next to the ray state);
-    for huge scenes see accel/ geometry paging (SURVEY §5.7).
+    for huge scenes see dist/geometry.py's "gp" triangle sharding.
+
+    `accel` (optional): a prebuilt accelerator (ClusterScene / FlatBVH from
+    core.integrator.maybe_build_accel) — replicated over the mesh like the
+    scene, so LARGE scenes run the accelerated traversal inside the
+    shard_map instead of silently falling back to the O(T) whole-table
+    path. Build it on host arrays BEFORE any jit (topology can't be
+    traced); pass it through train_step's `accel` argument.
     """
     sp_size = mesh.shape["sp"]
     assert cfg.spp % sp_size == 0, "spp must divide over the sp mesh axis"
     local_spp = cfg.spp // sp_size
+    from pyrenderer_tpu.core.integrator import resolve_backend
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(), P("dp"), P("dp")),
-        out_specs=P("dp"),
-    )
-    def shard_render(scene, camera, px, py):
+    backend = resolve_backend("auto", scene.faces.shape[0], accel)
+
+    def body(scene, camera, px, py, accel):
         sp_idx = jax.lax.axis_index("sp")
-        tables = TraceTables(scene, cfg, "auto")
+        tables = TraceTables(scene, cfg, backend, accel=accel)
 
         def one_sample(s):
             sample_id = (sp_idx * local_spp + s).astype(jnp.uint32)
@@ -80,7 +85,21 @@ def render_field_sharded(
         local = jax.lax.map(one_sample, jnp.arange(local_spp, dtype=jnp.uint32)).sum(0)
         return jax.lax.psum(local, "sp") / cfg.spp
 
-    return shard_render(scene, camera, pixel_x, pixel_y)
+    if accel is None:
+        shard_render = partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P("dp")),
+            out_specs=P("dp"),
+        )(lambda scene, camera, px, py: body(scene, camera, px, py, None))
+        return shard_render(scene, camera, pixel_x, pixel_y)
+    shard_render = partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P("dp"), P()),
+        out_specs=P("dp"),
+    )(body)
+    return shard_render(scene, camera, pixel_x, pixel_y, accel)
 
 
 def pixel_grid(camera: Camera):
@@ -101,6 +120,7 @@ def train_step(
     pixel_x,
     pixel_y,
     lr,
+    accel=None,
 ):
     """One inverse-rendering step: render -> L2 loss vs target -> SGD on
     (vertices, albedo, emission). Differentiates through the shard_map;
@@ -110,13 +130,18 @@ def train_step(
     lr: scalar, or a (lr_vertices, lr_albedo, lr_emission) tuple to give
     each parameter family its own step size (0 freezes it — e.g. albedo-
     only recovery in examples/invrender.py).
+    accel: optional prebuilt accelerator for large scenes (replicated; see
+    render_field_sharded). Hit selection is detached, so a fixed accel
+    built from the CURRENT vertices stays a valid traversal oracle for the
+    small vertex perturbations of a training step.
     Returns (loss, new_params).
     """
 
     def loss_fn(params):
         vertices, albedo, emission = params
         s = scene._replace(vertices=vertices, albedo=albedo, emission=emission)
-        img = render_field_sharded(s, camera, cfg, mesh, pixel_x, pixel_y)
+        img = render_field_sharded(s, camera, cfg, mesh, pixel_x, pixel_y,
+                                   accel=accel)
         return jnp.mean((img - target) ** 2)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)

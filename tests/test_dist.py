@@ -103,3 +103,33 @@ def test_train_step_runs_and_descends(setup):
         params2, scene, camera, cfg, mesh, target, px, py, jnp.float32(0.05)
     )
     assert float(loss2) < float(loss1)
+
+
+def test_sharded_cluster_accel_replicated():
+    """Large (>4096-tri) scene through the dp x sp shard_map with a
+    REPLICATED ClusterScene accel — the path dist/render.py:render_field_
+    sharded takes for big scenes instead of the warned O(T) fallback."""
+    from pyrenderer_tpu.core.integrator import maybe_build_accel, render_block
+    from pyrenderer_tpu.scene.procgen import big_scene_data
+    from pyrenderer_tpu.scene.tungsten import build_scene
+
+    data = big_scene_data("terrain", res=64)
+    scene, camera, cfg = build_scene(data, dtype=np.float32)
+    accel = maybe_build_accel(scene, "cluster")
+    scene = jax.tree.map(jnp.asarray, scene)
+    camera = camera._replace(resolution=(16, 16))
+    cfg = cfg.replace(max_bounces=2, spp=2, seed=4)
+    w, h = camera.resolution
+    ys, xs = np.mgrid[0:h, 0:w]
+    px = jnp.asarray(xs.reshape(-1), jnp.int32)
+    py = jnp.asarray(ys.reshape(-1), jnp.int32)
+    mesh = make_mesh(8, dp=4, sp=2)
+    got = np.asarray(
+        render_field_sharded(scene, camera, cfg, mesh, px, py, accel=accel)
+    )
+    want = np.asarray(
+        render_block(scene, camera, cfg, cfg.seed, cfg.spp, px, py,
+                     backend="cluster", accel=accel)
+    )
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)

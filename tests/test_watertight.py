@@ -227,3 +227,45 @@ def test_cluster_watertight_matches_mt_off_edges(scene):
     np.testing.assert_allclose(
         np.asarray(t_mt)[both], np.asarray(t_wt)[both], rtol=2e-3, atol=1e-4
     )
+
+
+def test_cluster_watertight_cpu_fallback_matches_kernel():
+    """Same config -> same hit set on CPU and (interpreted) TPU kernel:
+    the off-TPU product path (closest_hit routing to closest_hit_ref) must
+    honor watertight=True instead of silently using the leaky MT leaf
+    (round-3 weakness #3). No interpret=True dodge: this calls the public
+    API exactly as the integrator does on a CPU host."""
+    import jax
+    from pyrenderer_tpu.accel.clusters import build_clusters
+    from pyrenderer_tpu.kernels.pallas_cluster import closest_hit, occluded
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    cs = build_clusters(verts, faces)
+
+    n = 2048
+    ts = np.linspace(1e-4, 1.0 - 1e-4, n).astype(np.float32)
+    on_edge = np.stack([ts, ts, np.zeros(n, np.float32)], axis=1)
+    ro = jnp.asarray(on_edge + np.asarray([0.0, 0.0, 1.0], np.float32))
+    rd = jnp.asarray(
+        np.broadcast_to(np.asarray([0.0, 0.0, -1.0], np.float32), (n, 3))
+    )
+
+    assert jax.default_backend() != "tpu"  # conftest pins CPU
+    # product path (routes to the pure-JAX twin on CPU)
+    hit_cpu, t_cpu, face_cpu = closest_hit(cs, ro, rd, 1e-5, 10.0,
+                                           watertight=True)
+    # compiled-kernel semantics via the interpreter
+    hit_k, t_k, face_k = closest_hit(cs, ro, rd, 1e-5, 10.0,
+                                     watertight=True, interpret=True)
+    assert np.asarray(hit_cpu).all(), "CPU fallback leaked watertight rays"
+    assert np.array_equal(np.asarray(hit_cpu), np.asarray(hit_k))
+    assert np.array_equal(np.asarray(face_cpu), np.asarray(face_k))
+    np.testing.assert_allclose(np.asarray(t_cpu), np.asarray(t_k), rtol=1e-4)
+
+    occ_cpu = np.asarray(occluded(cs, ro, rd, 1e-5, 10.0, watertight=True))
+    occ_k = np.asarray(occluded(cs, ro, rd, 1e-5, 10.0, watertight=True,
+                                interpret=True))
+    assert occ_cpu.all() and np.array_equal(occ_cpu, occ_k)
