@@ -276,6 +276,16 @@ def _leaf_wt_chunk(blk, oc, dc, t0, t_lim):
     zero edge-function fallback is the compensated difference-of-products
     (core/watertight.py diff_of_products), pure f32. ~3x the ALU of the
     plain Moeller-Trumbore leaf.
+
+    Documented divergence from the reference: intersection_taichi.py:141
+    rejects |det| <= 1e-4 and recomputes ALL THREE edge functions in f64
+    whenever any is zero; this leaf (like core/watertight.py, the repo
+    convention) accepts any |det| > 0 and recomputes only the exactly-
+    zero edges with compensated f32 — near-degenerate slivers the
+    reference's threshold rejects can therefore hit here. Intentional:
+    TPUs have no fast f64, the compensated product recovers the correct
+    edge sign, and rejecting thin-but-real geometry is the worse failure
+    mode for watertightness.
     """
     from pyrenderer_tpu.core.watertight import diff_of_products
 

@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", help="checkpoint .npz path (enables save)")
     p.add_argument("--checkpoint-interval", type=int, help="passes between checkpoints")
     p.add_argument("--resume", action="store_true", help="resume from --checkpoint")
+    p.add_argument(
+        "--resilient", type=int, nargs="?", const=3, default=0,
+        metavar="RETRIES",
+        help="retry failed passes (failure detection + elastic recovery; "
+        "default 3 retries when given without a value)",
+    )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--quiet", action="store_true")
     return p
@@ -105,7 +111,13 @@ def main(argv=None) -> int:
         print(f"resuming from {args.checkpoint} at {film.spp} spp", file=sys.stderr)
 
     renderer = ProgressiveRenderer(scene, camera, cfg, backend=args.backend, film=film)
-    renderer.run(checkpoint_path=args.checkpoint, quiet=args.quiet)
+    if args.resilient:
+        renderer.run_resilient(
+            checkpoint_path=args.checkpoint, max_retries=args.resilient,
+            quiet=args.quiet,
+        )
+    else:
+        renderer.run(checkpoint_path=args.checkpoint, quiet=args.quiet)
     written = renderer.write_outputs()
     for path in written:
         print(f"wrote {path}", file=sys.stderr)

@@ -160,3 +160,88 @@ def test_cli_end_to_end(cornell_path, tmp_path):
     img = iio.imread(out)
     assert img.shape == (16, 16, 3)
     assert img.max() > 0
+
+
+def test_run_resilient_recovers_and_matches_uninterrupted(cornell_path):
+    """Transient pass failures: run_resilient retries from the exact pass
+    (host-side accumulation + counter RNG) and the final film is
+    bit-identical to an uninterrupted render."""
+    import time as _time
+    from pyrenderer_tpu.scene import load_tungsten
+    from pyrenderer_tpu.render.driver import ProgressiveRenderer
+
+    scene, camera, cfg = load_tungsten(cornell_path, dtype=np.float32)
+    camera = camera._replace(resolution=(12, 12))
+    cfg = cfg.replace(spp=4, spp_step=1, max_bounces=2, seed=7)
+
+    clean = ProgressiveRenderer(scene, camera, cfg)
+    clean.run(quiet=True)
+
+    flaky = ProgressiveRenderer(scene, camera, cfg)
+    orig = flaky.render_one_pass
+    calls = {"n": 0}
+
+    def sometimes_fails():
+        calls["n"] += 1
+        if calls["n"] in (1, 3):
+            raise RuntimeError("injected transient device failure")
+        return orig()
+
+    flaky.render_one_pass = sometimes_fails
+    t0 = _time.time()
+    film = flaky.run_resilient(max_retries=3, backoff=0.01, quiet=True)
+    assert _time.time() - t0 < 60
+    assert film.spp == cfg.spp
+    np.testing.assert_array_equal(film.hdr, clean.film.hdr)
+    np.testing.assert_array_equal(film.spp_map, clean.film.spp_map)
+
+
+def test_run_resilient_gives_up_after_max_retries(cornell_path):
+    from pyrenderer_tpu.scene import load_tungsten
+    from pyrenderer_tpu.render.driver import ProgressiveRenderer
+
+    scene, camera, cfg = load_tungsten(cornell_path, dtype=np.float32)
+    camera = camera._replace(resolution=(8, 8))
+    cfg = cfg.replace(spp=2, spp_step=1, max_bounces=2)
+    r = ProgressiveRenderer(scene, camera, cfg)
+
+    def always_fails():
+        raise RuntimeError("hard failure")
+
+    r.render_one_pass = always_fails
+    with pytest.raises(RuntimeError, match="hard failure"):
+        r.run_resilient(max_retries=2, backoff=0.01, quiet=True)
+
+
+def test_run_resilient_rejects_nonfinite_pass(cornell_path):
+    """A pass producing NaN radiance is detected BEFORE the film absorbs
+    it; a transient NaN is retried and the final accumulation is clean."""
+    from pyrenderer_tpu.render import driver as drv
+    from pyrenderer_tpu.scene import load_tungsten
+    from pyrenderer_tpu.render.driver import ProgressiveRenderer
+
+    scene, camera, cfg = load_tungsten(cornell_path, dtype=np.float32)
+    camera = camera._replace(resolution=(8, 8))
+    cfg = cfg.replace(spp=2, spp_step=1, max_bounces=2, seed=3)
+
+    clean = ProgressiveRenderer(scene, camera, cfg)
+    clean.run(quiet=True)
+
+    r = ProgressiveRenderer(scene, camera, cfg)
+    orig_pass = drv._render_pass
+    calls = {"n": 0}
+
+    def poisoned(*a, **k):
+        s, q = orig_pass(*a, **k)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            s = s.at[0].set(jnp.nan)
+        return s, q
+
+    r.render_one_pass.__func__  # noqa: B018 — sanity the method exists
+    import unittest.mock as mock
+    with mock.patch.object(drv, "_render_pass", poisoned):
+        film = r.run_resilient(max_retries=2, backoff=0.01, quiet=True)
+    assert np.isfinite(film.hdr).all()
+    assert film.spp == cfg.spp
+    np.testing.assert_array_equal(film.hdr, clean.film.hdr)
