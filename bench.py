@@ -77,7 +77,10 @@ def main():
 
     scene_name = os.environ.get("BENCH_SCENE", "cornell")
     estimator = os.environ.get("BENCH_ESTIMATOR", "reference")
-    watertight = os.environ.get("BENCH_WATERTIGHT", "0") == "1"
+    # default follows RenderConfig.cluster_watertight; "1" forces the
+    # leak-free (1.36-1.73x slower) watertight leaves
+    watertight = {"0": False, "1": True}.get(
+        os.environ.get("BENCH_WATERTIGHT", ""), RenderConfig.cluster_watertight)
     sort = {"0": False, "1": True}.get(
         os.environ.get("BENCH_SORT", "auto"), "auto")
     scene, camera, def_res, def_spp, metric = load_bench_scene(scene_name)

@@ -42,8 +42,20 @@ class RenderConfig:
     shadow_eps: float = 1e-3       # relative margin excluding the sampled light face
     cluster_watertight: bool = False  # cluster-backend leaves use the PBRT
     #                                shear watertight test instead of plain
-    #                                Moeller-Trumbore (~3x the leaf ALU cost;
-    #                                for shared-edge-heavy meshes)
+    #                                Moeller-Trumbore (leak-free shared
+    #                                edges; reference intersection_taichi
+    #                                .py:94 exists for the same reason).
+    #                                Chip-measured cost is scene-dependent:
+    #                                1.36x on terrain100k, 1.73x on
+    #                                terrain8k, 1.4x on blob82k
+    #                                (perf/RESULTS.md round 4) — above the
+    #                                ~1.3x bar set for flipping the
+    #                                default, so the default matches the
+    #                                reference's (MT). The watertight path
+    #                                is first-class either way: same hit
+    #                                set on CPU and TPU (unified fallback),
+    #                                tested through the traversal, one
+    #                                config flag away.
     cluster_sort: object = "auto"  # coherence-sort wavefronts before each
     #                                cluster query (accel/clusters.sort_keys:
     #                                origin Morton | quantized direction).
