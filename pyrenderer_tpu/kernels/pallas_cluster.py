@@ -52,12 +52,18 @@ The whole clustered scene is VMEM-resident (tri table (K*16, 128) f32 —
 8 KB per 128 triangles plus ~0.5 KB of boxes, ~180k triangles in a 12 MB
 budget), so traversal does zero HBM traffic beyond the ray tiles.
 
-Measured on the real v5e chip (perf/RESULTS.md has the full ablation):
+Measured on the real v5e chip (perf/RESULTS.md has the full tables):
 a full-width leaf costs 0.82 us in a slim loop; per-visit pack-extracts
-~0.5-1 us (vector->scalar sync); and WAVEFRONT ORDER dominates all of it —
-the same kernel spans 6.7 us/tile (pixel-ordered) to 213 us/tile
-(shuffled) on terrain100k. Hence the coherence sort (sort_keys) defaults
-on in RenderConfig.cluster_sort, SUB_TILES rays share each grid step, and
+~0.3-0.7 us (vector->scalar sync); and WAVEFRONT ORDER dominates — the
+same kernel spans ~20 us/tile (pixel-ordered) to ~55 us/tile (shuffled)
+on terrain100k, with a sorted-shuffled middle of ~45 (absolute rates vary
+~2x with facility load day-to-day; ratios are stable). An exact CPU
+replay of the sweep's decisions shows a sorted 128-ray tile does ~89 leaf
+visits = 0.70 per ray slot versus the 3.34 a ray needs alone — the
+lockstep union AMORTIZES 4.8x, and the sort keys are near-optimal among
+the designs tested. Hence the coherence sort (sort_keys) is applied per
+scene size (RenderConfig.cluster_sort="auto": the ~6 ms/query sort glue
+only pays past ~32k triangles), SUB_TILES rays share each grid step, and
 per-ray t feedback rides a transpose rather than a scalar extraction.
 """
 

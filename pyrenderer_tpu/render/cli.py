@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="retry failed passes (failure detection + elastic recovery; "
         "default 3 retries when given without a value)",
     )
+    p.add_argument(
+        "--live", type=int, nargs="?", const=1, default=0, metavar="PASSES",
+        help="redraw the accumulating render in the terminal every N "
+        "passes (ANSI half-blocks — the headless equivalent of the "
+        "reference's progressive GUI window)",
+    )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--quiet", action="store_true")
     return p
@@ -110,7 +116,24 @@ def main(argv=None) -> int:
         film = Film.load(args.checkpoint)
         print(f"resuming from {args.checkpoint} at {film.spp} spp", file=sys.stderr)
 
-    renderer = ProgressiveRenderer(scene, camera, cfg, backend=args.backend, film=film)
+    on_pass = None
+    if args.live:
+        from pyrenderer_tpu.core.tonemap import tonemap as _tonemap
+        from pyrenderer_tpu.utils.termview import LiveView
+
+        view = LiveView()
+        every = args.live
+
+        def on_pass(r):
+            if r.film.spp % every == 0:
+                import jax.numpy as _jnp
+                import numpy as _np
+
+                ldr = _np.asarray(_tonemap(_jnp.asarray(r.film.hdr), r.cfg.tonemap))
+                view.update(ldr, f"{r.film.spp}/{r.cfg.spp} spp")
+
+    renderer = ProgressiveRenderer(scene, camera, cfg, backend=args.backend,
+                                   film=film, on_pass=on_pass)
     if args.resilient:
         renderer.run_resilient(
             checkpoint_path=args.checkpoint, max_retries=args.resilient,

@@ -245,3 +245,45 @@ def test_run_resilient_rejects_nonfinite_pass(cornell_path):
     assert np.isfinite(film.hdr).all()
     assert film.spp == cfg.spp
     np.testing.assert_array_equal(film.hdr, clean.film.hdr)
+
+
+def test_termview_ansi_frame():
+    """Half-block live view: correct escape structure, in-place redraw."""
+    import io
+    from pyrenderer_tpu.utils.termview import LiveView, frame_to_ansi
+
+    img = np.zeros((8, 6, 3), np.float32)
+    img[:4] = [1.0, 0.0, 0.0]          # top half red
+    img[4:] = [0.0, 0.0, 1.0]          # bottom half blue
+    art = frame_to_ansi(img, max_cols=6, max_rows=4)
+    lines = art.split("\n")
+    assert len(lines) == 4              # 8 pixel rows -> 4 half-block rows
+    assert "\x1b[38;2;255;0;0m" in lines[0]      # red foreground on top
+    assert "\x1b[48;2;0;0;255m" in lines[2]      # blue background below
+    assert all(line.endswith("\x1b[0m") for line in lines)
+
+    buf = io.StringIO()
+    v = LiveView(max_cols=6, max_rows=4, stream=buf)
+    v.update(img, "1/2 spp")
+    v.update(img, "2/2 spp")
+    out = buf.getvalue()
+    assert "1/2 spp" in out and "2/2 spp" in out
+    assert "\x1b[5F\x1b[J" in out       # second frame rewinds 4 art + 1 status lines
+
+
+def test_cli_live_smoke(cornell_path, capsys):
+    """--live end-to-end through the CLI main (non-tty stream)."""
+    import os
+    import tempfile
+    from pyrenderer_tpu.render.cli import main
+
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "live.png")
+        rc = main([
+            cornell_path, "--cpu", "--res", "16", "16", "--spp", "2",
+            "--depth", "2", "--live", "--out", out, "--quiet",
+        ])
+        assert rc == 0
+        assert os.path.exists(out)
+        err = capsys.readouterr().err
+        assert "▀" in err and "2/2 spp" in err
