@@ -18,17 +18,17 @@ def write_png(path: str, ldr: np.ndarray) -> None:
 
 
 def write_hdr(path: str, hdr: np.ndarray) -> str:
-    """Write float radiance. Tries EXR via imageio; falls back to .npy.
-    Returns the path actually written."""
+    """Write float radiance. `.exr` goes through the bundled pure-Python
+    OpenEXR writer (utils/exr.py — scanline FLOAT, ZIP; this environment
+    ships no EXR backend, and the old imageio attempt silently fell back
+    to a stray `.npy` in CWD, the origin of the recurring cornell-box.npy
+    artifact). Anything else is saved as `.npy`. Returns the path
+    actually written."""
     hdr = np.asarray(hdr, np.float32)
     if path.endswith(".exr"):
-        try:
-            import imageio.v3 as iio
+        from pyrenderer_tpu.utils.exr import write_exr
 
-            iio.imwrite(path, hdr)
-            return path
-        except Exception:
-            path = path[:-4] + ".npy"
+        return write_exr(path, hdr)
     if not path.endswith(".npy"):
         path = path + ".npy"
     np.save(path, hdr)
