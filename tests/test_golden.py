@@ -62,3 +62,46 @@ def test_golden_cornell_vs_tungsten(cornell_path):
     assert mean_shift.max() < 0.02, (
         f"per-channel mean drift vs ground truth: {mean_shift}"
     )
+
+
+GT_EXR_PATH = os.path.join(os.path.dirname(__file__), "data", "tungsten_gt_256.exr")
+
+
+@pytest.mark.slow
+def test_golden_cornell_hdr_radiance(cornell_path):
+    """HDR golden test in RADIANCE space — no tonemap in the loop.
+
+    Ground truth: tests/data/tungsten_gt_256.exr, the reference's
+    PIZ-compressed TungstenRender.exr decoded by utils/exr_piz.py and
+    box-downsampled 1024² -> 256² (scene and ground truth (c) Benedikt
+    Bitterli, CC BY 3.0 per the reference's LICENSE.txt). The reference
+    never compared against its EXR programmatically (SURVEY §4); this
+    pins our estimator against the independent C++ renderer in linear
+    units, where tonemap-curve coincidences can't mask radiometric bugs
+    (a dropped 1/pi or a wrong light pdf shifts linear means by tens of
+    percent).
+    """
+    from pyrenderer_tpu.utils.exr import read_exr
+
+    scene, camera, cfg = load_tungsten(cornell_path)
+    camera = camera._replace(resolution=(64, 64))
+    cfg = cfg.replace(spp=32, max_bounces=8, estimator="pbrt", seed=1)
+    hdr = np.asarray(
+        render_image(jax.tree.map(jnp.asarray, scene), camera, cfg)
+    ).astype(np.float64)
+    gt = read_exr(GT_EXR_PATH).astype(np.float64)
+    gt64 = gt.reshape(64, 4, 64, 4, 3).mean(axis=(1, 3))
+
+    # linear-space comparisons: whole-image mean radiance, per-channel
+    # means, and a smoothed (8x8-box) relative error that averages out
+    # the 32-spp Monte-Carlo noise
+    mean_rel = abs(hdr.mean() - gt64.mean()) / gt64.mean()
+    chan_rel = np.abs(hdr.reshape(-1, 3).mean(0) - gt64.reshape(-1, 3).mean(0))
+    chan_rel = chan_rel / gt64.reshape(-1, 3).mean(0)
+    ours8 = hdr.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3))
+    gt8 = gt64.reshape(8, 8, 8, 8, 3).mean(axis=(1, 3))
+    block_rel = (np.abs(ours8 - gt8) / np.maximum(gt8, 1e-3)).mean()
+
+    assert mean_rel < 0.03, f"linear mean radiance off by {mean_rel:.3%}"
+    assert chan_rel.max() < 0.05, f"per-channel linear drift: {chan_rel}"
+    assert block_rel < 0.08, f"8x8-block mean relative error: {block_rel:.4f}"
