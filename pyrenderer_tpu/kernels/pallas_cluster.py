@@ -88,10 +88,11 @@ from pyrenderer_tpu.accel.clusters import (
 )
 
 RAY_TILE = 128  # rays per sweep tile = VPU lane width
-SUB_TILES = 8   # ray tiles per grid step: per-step DMA/pipeline overhead is
-                # ~10 us on the chip (measured, perf/kernelbench.py), which
-                # WAS the round-2 throughput floor at ~1 tile of real work
-                # per step; amortizing it 8-fold moves the floor to ~1 us
+# ray tiles per grid step: per-step DMA/pipeline overhead is ~10 us on the
+# chip (measured, perf/kernelbench.py), which WAS the round-2 throughput
+# floor at ~1 tile of real work per step; amortizing it 8-fold moves the
+# floor to ~1 us. Env knob for the perf harness's A/B only.
+SUB_TILES = int(__import__("os").environ.get("PYRENDERER_SUB_TILES", "8"))
 
 # MISS_T with the low 7 mantissa bits cleared — the closest kernel tracks
 # t_best in this "masked" domain (see the key-packed leaf reduction), so

@@ -272,3 +272,58 @@ def test_render_cluster_backend_pbrt_estimator(terrain_scene):
     assert img_c.max() > 0
     close = np.isclose(img_c, img_b, rtol=1e-3, atol=1e-4).mean()
     assert close > 0.99
+
+
+def test_cluster_adversarial_geometry():
+    """Degenerate/hostile inputs through build + traversal: zero-area
+    triangles, duplicated faces, coincident vertices, a huge-coordinate
+    outlier — build must not crash, padding guards must hold, and the
+    kernel must agree with the brute oracle."""
+    rs = np.random.RandomState(0)
+    pts = rs.uniform(-1, 1, (600, 3)).astype(np.float32)
+    pts[7] = pts[3]                                   # coincident vertices
+    pts[11] = [1e6, 1e6, 1e6]                         # far outlier vertex
+    faces = rs.randint(0, 600, (700, 3)).astype(np.int32)
+    faces[5] = [3, 3, 3]                              # zero-area (point)
+    faces[6] = [4, 4, 9]                              # zero-area (edge)
+    faces[10] = faces[20]                             # duplicate face
+    from pyrenderer_tpu.scene.types import Scene
+
+    t = faces.shape[0]
+    scene = Scene(
+        vertices=jnp.asarray(pts), faces=jnp.asarray(faces),
+        normal_sign=jnp.ones(t, jnp.float32),
+        face_material=jnp.zeros(t, jnp.int32),
+        albedo=jnp.full((1, 3), 0.5, jnp.float32),
+        emissive=jnp.zeros(1, jnp.float32),
+        emission=jnp.zeros((1, 3), jnp.float32),
+        sided=jnp.zeros(1, jnp.float32),
+        mat_type=jnp.zeros(1, jnp.int32),
+        ior=jnp.ones(1, jnp.float32),
+        roughness=jnp.zeros(1, jnp.float32),
+        light_faces=jnp.zeros((1, 1), jnp.int32),
+        light_nfaces=jnp.ones(1, jnp.int32),
+    )
+    cs = cl.build_clusters(pts, faces)
+    ro, rd = _random_rays(256, seed=17)
+    h_b, t_b, f_b = isect.intersect_brute(scene, ro, rd, 1e-5, 1e5)
+    h_p, t_p, f_p = pc.closest_hit(cs, ro, rd, 1e-5, 1e5, sort=True,
+                                   interpret=True)
+    h_b, h_p = np.asarray(h_b), np.asarray(h_p)
+    # triangles touching the 1e6 outlier are catastrophically conditioned
+    # in f32 — brute and the pure-JAX twin disagree with each other there
+    # too, so those rays only need statistical agreement; everything not
+    # involving the outlier must match exactly
+    outlier_faces = np.nonzero((np.asarray(faces) == 11).any(axis=1))[0]
+    touched = np.isin(np.asarray(f_b), outlier_faces) | np.isin(
+        np.asarray(f_p), outlier_faces)
+    assert np.array_equal(h_p[~touched], h_b[~touched])
+    assert (h_p == h_b).mean() > 0.95
+    both = h_b & h_p & ~touched
+    if both.any():
+        np.testing.assert_allclose(
+            np.asarray(t_p)[both], np.asarray(t_b)[both], rtol=1e-3
+        )
+    occ_b = np.asarray(isect.occluded(scene, ro, rd, 1e-5, 1.5))
+    occ_p = np.asarray(pc.occluded(cs, ro, rd, 1e-5, 1.5, interpret=True))
+    assert (occ_b == occ_p).mean() > 0.99
