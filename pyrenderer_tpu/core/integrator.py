@@ -393,7 +393,8 @@ def use_wavefront_sort(tables, cfg) -> bool:
 
     if os.environ.get("PYRENDERER_WF_SORT", "0") != "1":
         return False
-    return tables.backend == "cluster" and cfg.cluster_sort
+    return tables.backend == "cluster" and resolve_cluster_sort(
+        cfg, tables.accel)
 
 
 def wavefront_sort_perm(accel, ro, rd, alive):

@@ -216,13 +216,20 @@ def render_field_geometry_sharded(
             cs_l = jax.tree.map(lambda x: x[0], rest[0])
             do_sort = resolve_cluster_sort(cfg, cs_l)
 
+            # forward the FULL cluster config (watertight leaves, suspend/
+            # resume rounds) exactly like core/integrator._closest — same
+            # config must mean the same hit set on every execution path
             def local_closest(ro, rd, t1):
                 return pc.closest_hit(cs_l, ro, rd, cfg.t_min, t1,
-                                      sort=do_sort)
+                                      sort=do_sort,
+                                      watertight=cfg.cluster_watertight,
+                                      rounds=cfg.cluster_rounds,
+                                      budget=cfg.cluster_budget)
 
             def local_occluded(ro, rd, t1):
                 return pc.occluded(cs_l, ro, rd, cfg.t_min, t1,
-                                   sort=do_sort)
+                                   sort=do_sort,
+                                   watertight=cfg.cluster_watertight)
         else:
             def local_closest(ro, rd, t1):
                 return isect.intersect_brute_arrays(

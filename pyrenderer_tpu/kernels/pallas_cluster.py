@@ -366,13 +366,21 @@ def _bitw32():
     )
 
 
+def _bitw16():
+    return jnp.left_shift(
+        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
+    )
+
+
 def _peel2(word, g, order_smem, dummy_sid):
     """Pop the next TWO flagged ranks of 32-bit word `word` (word group g).
 
-    Returns (s1, s2, remaining_word): s1 is the nearest flagged
+    Returns (s1, s2, remaining_word, n_real): s1 is the nearest flagged
     supercluster, s2 the next — or the dummy all-NaN supercluster when the
     word holds only one remaining bit (borrowing across words is skipped
-    for simplicity; the dummy costs one wasted child cull per odd word)."""
+    for simplicity; the dummy costs one wasted child cull per odd word).
+    n_real is 1 or 2: how many REAL superclusters this pop consumed (the
+    visit-budget accounting must not charge for the dummy)."""
     low1 = word & -word
     rank1 = g * 32 + _ctz_low(low1)
     w2 = word & (word - 1)
@@ -381,7 +389,7 @@ def _peel2(word, g, order_smem, dummy_sid):
     rank2 = g * 32 + _ctz_low(jnp.where(have2, low2, jnp.int32(1)))
     s1 = order_smem[rank1]
     s2 = jnp.where(have2, order_smem[rank2], dummy_sid)
-    return s1, s2, w2 & (w2 - 1)
+    return s1, s2, w2 & (w2 - 1), jnp.where(have2, jnp.int32(2), jnp.int32(1))
 
 
 def _closest_kernel(n_groups, t0, watertight, sub, budget, resume,
@@ -397,9 +405,7 @@ def _closest_kernel(n_groups, t0, watertight, sub, budget, resume,
         (rays_ref, rcol_ref, super_ref, bitw_ref, child_ref, tri_ref,
          t_out, slot_out) = refs
     bitw32 = _bitw32()
-    bitw16 = jnp.left_shift(
-        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
-    )
+    bitw16 = _bitw16()
 
     def sub_tile(st, _):
         o, d, inv, t1 = _ray_planes(rays_ref, st)
@@ -457,14 +463,14 @@ def _closest_kernel(n_groups, t0, watertight, sub, budget, resume,
             def wbody(c):
                 word, t_best, slot_best, t_lane, visits = c
                 if _PAIR_PEEL:
-                    s1, s2, word = _peel2(word, g, order_smem, dummy_sid)
+                    s1, s2, word, step = _peel2(word, g, order_smem,
+                                                dummy_sid)
                     cbits = _child_bits2(child_ref, s1, s2, o, inv, t0,
                                          t_lane, bitw32)
                     base1 = s1 * GROUP
                     base2 = s2 * GROUP - GROUP
                     j_of_bit = lambda c: jnp.where(
                         c < GROUP, base1 + c, base2 + c)
-                    step = 2
                 else:
                     rank = g * 32 + _ctz_low(word & -word)
                     word = word & (word - 1)
@@ -513,9 +519,7 @@ def _anyhit_kernel(n_groups, t0, watertight, sub, dummy_sid, order_smem,
                    rays_ref, rcol_ref, super_ref, bitw_ref, child_ref,
                    tri_ref, occ_out):
     bitw32 = _bitw32()
-    bitw16 = jnp.left_shift(
-        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
-    )
+    bitw16 = _bitw16()
 
     def sub_tile(st, _):
         o, d, inv, t1 = _ray_planes(rays_ref, st)
@@ -550,7 +554,8 @@ def _anyhit_kernel(n_groups, t0, watertight, sub, dummy_sid, order_smem,
             def wbody(c):
                 word, occ, undecided = c
                 if _PAIR_PEEL:
-                    s1, s2, word = _peel2(word, g, order_smem, dummy_sid)
+                    s1, s2, word, _n = _peel2(word, g, order_smem,
+                                              dummy_sid)
                     cbits = _child_bits2(child_ref, s1, s2, o, inv, t0, t1,
                                          bitw32)
                     base1 = s1 * GROUP
@@ -747,11 +752,11 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
     does).
 
     sort=True applies the coherence sort (accel/clusters.sort_keys:
-    origin-Morton major | 9-bit quantized direction) before tiling —
-    measured 2.5x+ on shuffled bounce wavefronts; RenderConfig.cluster_sort
-    defaults it on for every cluster query (the integrator instead sorts
-    the whole wavefront state once per bounce and calls this with
-    sort=False).
+    origin-Morton major | 9-bit quantized direction, dead t1=0 lanes
+    last) before tiling — measured 2.5x+ on shuffled bounce wavefronts.
+    The integrator resolves RenderConfig.cluster_sort="auto" by scene
+    size (integrator.resolve_cluster_sort: the ~6 ms/query sort glue only
+    pays past ~32k triangles) and passes the concrete flag here.
 
     rounds > 1 with budget > 0 enables SUSPEND/RESUME traversal: the first
     pass sweeps at most `budget` superclusters per 128-ray tile (visits are

@@ -123,9 +123,13 @@ def main(argv=None) -> int:
 
         view = LiveView()
         every = args.live
+        tick = {"n": 0}
 
         def on_pass(r):
-            if r.film.spp % every == 0:
+            # count PASSES (uniform and adaptive alike), not spp — spp
+            # advances by spp_step per pass and stalls during refinement
+            tick["n"] += 1
+            if tick["n"] % every == 0:
                 import jax.numpy as _jnp
                 import numpy as _np
 

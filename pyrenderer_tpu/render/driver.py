@@ -164,7 +164,16 @@ class ProgressiveRenderer:
                 self.scene, self.camera, self.cfg, sample_ids, px, py,
                 self.backend, self.accel,
             )
-            self.film.add_pixels(rows, cols, np.asarray(r)[:k], np.asarray(q)[:k])
+            r = np.asarray(r)[:k]
+            q = np.asarray(q)[:k]
+            if self._validate and not (np.isfinite(r).all() and np.isfinite(q).all()):
+                # same pre-absorption guard as render_one_pass: adaptive
+                # chunks must not poison the film either
+                raise RuntimeError(
+                    f"non-finite radiance in adaptive chunk "
+                    f"({int((~np.isfinite(r)).sum())} bad values)"
+                )
+            self.film.add_pixels(rows, cols, r, q)
         if not quiet:
             print(f"adaptive: refined {idx.size} pixels", file=sys.stderr)
         return int(idx.size)
@@ -208,6 +217,8 @@ class ProgressiveRenderer:
         if cfg.adaptive:
             while self.refine_adaptive(quiet=quiet):
                 passes += 1
+                if self.on_pass:
+                    self.on_pass(self)
                 if (
                     checkpoint_path
                     and cfg.checkpoint_interval
@@ -245,6 +256,8 @@ class ProgressiveRenderer:
           the accumulation.
         """
         attempts = 0
+        cur_backoff = backoff
+        last_spp = -1
         self._validate = True
         try:
             while True:
@@ -253,18 +266,27 @@ class ProgressiveRenderer:
                 except KeyboardInterrupt:
                     raise
                 except Exception as e:  # noqa: BLE001 — elastic by design
+                    if self.film.spp > last_spp:
+                        # progress since the last failure: this is a NEW
+                        # incident, not the same one persisting — reset
+                        # the retry budget and backoff (max_retries bounds
+                        # CONSECUTIVE failures, not lifetime hiccups of a
+                        # multi-hour render)
+                        attempts = 0
+                        cur_backoff = backoff
+                        last_spp = self.film.spp
                     attempts += 1
                     if attempts > max_retries:
                         raise
                     if not quiet:
                         print(
                             f"pass failed ({e!r}); retry {attempts}/"
-                            f"{max_retries} in {backoff:.0f}s from spp "
+                            f"{max_retries} in {cur_backoff:.0f}s from spp "
                             f"{self.film.spp}",
                             file=sys.stderr,
                         )
-                    time.sleep(backoff)
-                    backoff *= 2.0
+                    time.sleep(cur_backoff)
+                    cur_backoff *= 2.0
         finally:
             self._validate = False
 
