@@ -708,6 +708,30 @@ def _sweep_any(cs: ClusterScene, rays_lane, rays_col, order, super_sorted, t0,
     return occ[:, 0] > 0
 
 
+# Probed on the real v5e (2026-08-21): 199,712 tris = 13.1 MiB of cluster
+# tables compiles and runs; 327,680 tris = 21.3 MiB dies inside the remote
+# compiler with an opaque HTTP-500 (VMEM is ~16 MiB/core and the sweep
+# keeps the whole scene resident). Guarded here so users get an actionable
+# error instead. Override via PYRENDERER_VMEM_LIMIT_MB for other parts.
+_VMEM_LIMIT_MB = float(
+    __import__("os").environ.get("PYRENDERER_VMEM_LIMIT_MB", "14.5")
+)
+
+
+def _check_vmem(cs: ClusterScene) -> None:
+    mb = (cs.tri.size + cs.child_box.size + cs.super_cols.size) * 4 / 2**20
+    if mb > _VMEM_LIMIT_MB:
+        raise ValueError(
+            f"cluster tables need {mb:.1f} MiB of VMEM "
+            f"(~{cs.n_clusters * LANE_TRIS} triangle slots) but the sweep "
+            f"keeps the whole scene on-chip and ~{_VMEM_LIMIT_MB:.0f} MiB "
+            "is the measured ceiling on v5e. For larger scenes shard the "
+            "geometry over devices (dist/geometry.py build_shard_clusters"
+            " — each shard gets its own sweep) or use the CPU bvh backend."
+            " Override with PYRENDERER_VMEM_LIMIT_MB on bigger parts."
+        )
+
+
 def _prepare(cs, ro, rd, t1, sort):
     """Sort (optional) + pad + pack. Returns the packed dual ray forms, the
     external perm (None when unsorted), the caller ray count, and the
@@ -786,6 +810,7 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
         hit, t, slot = closest_hit_ref(cs, ro, rd, t0, t1,
                                        watertight=watertight)
         return hit, t, slot_to_face(cs, slot).astype(jnp.int32)
+    _check_vmem(cs)
     lane, cols, perm, n, (ro_p, rd_p, t1_p) = _prepare(cs, ro, rd, t1, sort)
     order, super_sorted = _sc_order(cs, ro[:n] if perm is None else ro)
     npad = cols.shape[0]
@@ -835,6 +860,7 @@ def occluded(cs: ClusterScene, ro, rd, t0, t1, sort=False, watertight=False,
         from pyrenderer_tpu.accel.clusters import occluded_ref
 
         return occluded_ref(cs, ro, rd, t0, t1, watertight=watertight)
+    _check_vmem(cs)
     lane, cols, perm, n, _ = _prepare(cs, ro, rd, t1, sort)
     order, super_sorted = _sc_order(cs, ro[:n] if perm is None else ro)
     occ = _sweep_any(cs, lane, cols, order, super_sorted, float(t0),

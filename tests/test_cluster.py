@@ -327,3 +327,20 @@ def test_cluster_adversarial_geometry():
     occ_b = np.asarray(isect.occluded(scene, ro, rd, 1e-5, 1.5))
     occ_p = np.asarray(pc.occluded(cs, ro, rd, 1e-5, 1.5, interpret=True))
     assert (occ_b == occ_p).mean() > 0.99
+
+
+def test_vmem_guard_rejects_oversized_scenes():
+    """Scenes whose cluster tables exceed the measured VMEM ceiling get an
+    actionable error pointing at geometry sharding, instead of the opaque
+    remote-compiler failure probed on chip (200k tris ok, 327k dies)."""
+    from pyrenderer_tpu.kernels.pallas_cluster import _check_vmem
+    from pyrenderer_tpu.scene.procgen import blob
+
+    verts, faces = blob(7)                 # 327,680 tris = 21.3 MiB tables
+    cs = cl.build_clusters(verts, faces)
+    with pytest.raises(ValueError, match="VMEM.*shard the"):
+        _check_vmem(cs)
+    # the pure-JAX fallback path (CPU) is size-unlimited and must still work
+    ro, rd = _random_rays(64, seed=19)
+    hit, t, f = pc.closest_hit(cs, ro, rd, 1e-5, 1e5)
+    assert np.isfinite(np.asarray(t)).all()
