@@ -19,9 +19,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "scene",
-        help="Tungsten scene JSON, or the literal 'analytic' for the "
-        "self-contained analytic-primitive scene (reference taichi_ref.py)",
+        help="Tungsten scene JSON; the literal 'analytic' for the "
+        "self-contained analytic-primitive scene (reference taichi_ref.py);"
+        " or the literal 'tonemap' to run the offline tonemapper over a "
+        "saved HDR (.exr/.npy) — the role of the reference's tone_map.py",
     )
+    p.add_argument("--input", help="tonemap mode: HDR input (.exr or .npy)")
     p.add_argument("--spp", type=int, help="samples per pixel (scene default)")
     p.add_argument("--spp-step", type=int, help="samples per progressive pass")
     p.add_argument("--depth", type=int, help="max bounces (scene default)")
@@ -79,6 +82,8 @@ def main(argv=None) -> int:
 
     if args.scene == "analytic":
         return _main_analytic(args)
+    if args.scene == "tonemap":
+        return _main_tonemap(args)
 
     from pyrenderer_tpu.core.film import Film
     from pyrenderer_tpu.render.driver import ProgressiveRenderer
@@ -148,6 +153,38 @@ def main(argv=None) -> int:
     written = renderer.write_outputs()
     for path in written:
         print(f"wrote {path}", file=sys.stderr)
+    return 0
+
+
+def _main_tonemap(args) -> int:
+    """Offline tonemapper: saved HDR (.exr/.npy) -> LDR PNG.
+
+    The reference's tone_map.py loads dumped hdr.npy/spp.npy and shows
+    sqrt and Reinhard LDRs in cv2 windows (SURVEY §2.26); here any saved
+    HDR (including our own EXR output) maps through any of the supported
+    operators to a PNG: `pyrenderer_tpu tonemap --input out.exr
+    --tonemap filmic --out out.png`."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from pyrenderer_tpu.core.tonemap import tonemap as apply_tonemap
+    from pyrenderer_tpu.utils.image_io import write_png
+
+    if not args.input:
+        print("tonemap mode requires --input (.exr or .npy)", file=sys.stderr)
+        return 2
+    if args.input.endswith(".exr"):
+        from pyrenderer_tpu.utils.exr import read_exr
+
+        hdr = read_exr(args.input)[:, :, :3]
+    else:
+        hdr = np.load(args.input)
+    op = args.tonemap or "sqrt"
+    ldr = np.asarray(apply_tonemap(jnp.asarray(hdr, jnp.float32), op))
+    out = args.out or "tonemapped.png"
+    write_png(out, ldr)
+    print(f"wrote {out} ({op}, {hdr.shape[1]}x{hdr.shape[0]})", file=sys.stderr)
     return 0
 
 

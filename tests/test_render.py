@@ -287,3 +287,28 @@ def test_cli_live_smoke(cornell_path, capsys):
         assert os.path.exists(out)
         err = capsys.readouterr().err
         assert "▀" in err and "2/2 spp" in err
+
+
+def test_cli_tonemap_mode(cornell_path, tmp_path):
+    """Offline tonemapper through the CLI (the reference's tone_map.py
+    role): render -> save EXR -> tonemap to PNG via a separate invocation."""
+    from pyrenderer_tpu.render.cli import main
+    from pyrenderer_tpu.utils.exr import write_exr
+
+    hdr = np.abs(np.random.RandomState(0).standard_normal((12, 10, 3))).astype(np.float32)
+    exr = str(tmp_path / "x.exr")
+    write_exr(exr, hdr)
+    out = str(tmp_path / "x.png")
+    rc = main(["tonemap", "--input", exr, "--tonemap", "filmic", "--out", out])
+    assert rc == 0 and os.path.exists(out)
+    import imageio.v3 as iio
+
+    img = iio.imread(out)
+    assert img.shape == (12, 10, 3)
+    # .npy input path too
+    npy = str(tmp_path / "y.npy")
+    np.save(npy, hdr)
+    rc = main(["tonemap", "--input", npy, "--out", str(tmp_path / "y.png")])
+    assert rc == 0 and os.path.exists(str(tmp_path / "y.png"))
+    # missing --input is a clean usage error
+    assert main(["tonemap"]) == 2
