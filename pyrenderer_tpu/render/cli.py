@@ -143,13 +143,18 @@ def main(argv=None) -> int:
 
     renderer = ProgressiveRenderer(scene, camera, cfg, backend=args.backend,
                                    film=film, on_pass=on_pass)
+    # --live owns the terminal: the view's in-place redraw rewinds exactly
+    # its own lines, so interleaved progress prints (samples/s, adaptive
+    # reports) would corrupt it — silence them and let the status line
+    # carry the spp progress instead
+    quiet = args.quiet or bool(args.live)
     if args.resilient:
         renderer.run_resilient(
             checkpoint_path=args.checkpoint, max_retries=args.resilient,
-            quiet=args.quiet,
+            quiet=quiet,
         )
     else:
-        renderer.run(checkpoint_path=args.checkpoint, quiet=args.quiet)
+        renderer.run(checkpoint_path=args.checkpoint, quiet=quiet)
     written = renderer.write_outputs()
     for path in written:
         print(f"wrote {path}", file=sys.stderr)

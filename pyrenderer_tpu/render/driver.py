@@ -257,7 +257,7 @@ class ProgressiveRenderer:
         """
         attempts = 0
         cur_backoff = backoff
-        last_spp = -1
+        last_progress = -1
         self._validate = True
         try:
             while True:
@@ -266,7 +266,11 @@ class ProgressiveRenderer:
                 except KeyboardInterrupt:
                     raise
                 except Exception as e:  # noqa: BLE001 — elastic by design
-                    if self.film.spp > last_spp:
+                    # progress = total samples absorbed; spp_map.sum()
+                    # advances during ADAPTIVE refinement too, where
+                    # film.spp (the min) stays flat
+                    progress = int(self.film.spp_map.sum())
+                    if progress > last_progress:
                         # progress since the last failure: this is a NEW
                         # incident, not the same one persisting — reset
                         # the retry budget and backoff (max_retries bounds
@@ -274,7 +278,7 @@ class ProgressiveRenderer:
                         # multi-hour render)
                         attempts = 0
                         cur_backoff = backoff
-                        last_spp = self.film.spp
+                        last_progress = progress
                     attempts += 1
                     if attempts > max_retries:
                         raise

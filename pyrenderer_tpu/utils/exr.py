@@ -159,14 +159,23 @@ def read_exr(path: str) -> np.ndarray:
         raise NotImplementedError("tiled EXR not supported")
     attrs, pos = _read_attrs(buf, 8)
 
-    # channels
+    # channels: name \0 pixelType(i32) pLinear(u8) reserved(3) xSamp(i32) ySamp(i32)
     chl = attrs["channels"][1]
     chans = []
     p = 0
     while chl[p] != 0:
         e = chl.index(b"\x00", p)
         name = chl[p:e].decode()
-        (ptype,) = struct.unpack_from("<i", chl, e + 1)
+        ptype, = struct.unpack_from("<i", chl, e + 1)
+        xs_, ys_ = struct.unpack_from("<ii", chl, e + 9)
+        if ptype not in (_PIXEL_HALF, _PIXEL_FLOAT):
+            raise NotImplementedError(
+                f"EXR channel {name!r}: pixel type {ptype} (UINT?) not supported"
+            )
+        if xs_ != 1 or ys_ != 1:
+            raise NotImplementedError(
+                f"EXR channel {name!r}: subsampling {xs_}x{ys_} not supported"
+            )
         chans.append((name, ptype))
         p = e + 1 + 16
     comp = attrs["compression"][1][0]
@@ -200,7 +209,12 @@ def read_exr(path: str) -> np.ndarray:
                 out[y - y0 + i, :, c] = np.frombuffer(
                     data, dt, w, offset=p).astype(np.float32)
                 p += nbytes
+    # channels are stored alphabetically; reorder to R, G, B (+ the rest,
+    # e.g. A) whenever those names are present, so BGR and RGBA files both
+    # come out RGB-first instead of silently channel-swapped
     names = [n for n, _ in chans]
-    if names == ["B", "G", "R"]:
-        out = out[:, :, ::-1]
+    if {"R", "G", "B"} <= set(names):
+        rest = [i for i, n in enumerate(names) if n not in ("R", "G", "B")]
+        order = [names.index("R"), names.index("G"), names.index("B")] + rest
+        out = out[:, :, order]
     return np.ascontiguousarray(out)

@@ -77,7 +77,12 @@ class LiveView:
 
     Call update(ldr, status) per pass; the previous frame is overwritten
     via cursor-up escapes, so the render 'animates' like the reference's
-    GUI window. Writes to stderr (stdout stays clean for pipelines)."""
+    GUI window. Writes to stderr (stdout stays clean for pipelines).
+
+    The rewind assumes the cursor has not moved since the last update —
+    anything else printed between frames breaks the in-place redraw, so
+    the CLI silences the driver's periodic progress prints while --live
+    is active and routes the spp count through `status` instead."""
 
     def __init__(self, max_cols: int | None = None, max_rows: int = 40,
                  stream=None):

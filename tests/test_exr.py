@@ -69,3 +69,57 @@ def test_piz_decode_matches_reference_png():
     ldr = (x * (6.2 * x + 0.5)) / (x * (6.2 * x + 1.7) + 0.06)
     err = np.abs(np.clip(ldr, 0, 1) - png[:, :, :3]).mean()
     assert err < 0.004, err                 # measured 0.00174
+
+
+def test_exr_rgba_channel_order(tmp_path):
+    """Channels are stored alphabetically (A, B, G, R); the reader must
+    hand back RGB-first regardless — an RGBA file previously came back as
+    (A, B, G) in the first three slots."""
+    import struct
+    import zlib
+    from pyrenderer_tpu.utils import exr as x
+
+    h, w = 3, 5
+    rng = np.random.default_rng(1)
+    img = rng.standard_normal((h, w, 4)).astype(np.float32)  # RGBA semantics
+
+    # hand-build a 4-channel EXR with alphabetical (A,B,G,R) storage
+    channels = (x._chan(b"A", 2) + x._chan(b"B", 2) + x._chan(b"G", 2)
+                + x._chan(b"R", 2) + b"\x00")
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = b"".join([
+        x._attr(b"channels", b"chlist", channels),
+        x._attr(b"compression", b"compression", b"\x00"),
+        x._attr(b"dataWindow", b"box2i", box),
+        x._attr(b"displayWindow", b"box2i", box),
+        x._attr(b"lineOrder", b"lineOrder", b"\x00"),
+        x._attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0)),
+        x._attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0)),
+        x._attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0)),
+        b"\x00",
+    ])
+    pre = struct.pack("<ii", 20000630, 2) + header
+    blocks = []
+    for y in range(h):
+        raw = b"".join(
+            np.ascontiguousarray(img[y, :, c]).tobytes() for c in (3, 2, 1, 0)
+        )  # storage order A,B,G,R = img channels 3,2,1,0
+        blocks.append((y, raw))
+    pos = len(pre) + 8 * h
+    offs = []
+    for _, d in blocks:
+        offs.append(pos)
+        pos += 8 + len(d)
+    path = str(tmp_path / "rgba.exr")
+    with open(path, "wb") as fh:
+        fh.write(pre)
+        for o in offs:
+            fh.write(struct.pack("<Q", o))
+        for y, d in blocks:
+            fh.write(struct.pack("<ii", y, len(d)))
+            fh.write(d)
+
+    back = read_exr(path)
+    assert back.shape == (h, w, 4)
+    np.testing.assert_array_equal(back[:, :, :3], img[:, :, :3])  # R,G,B
+    np.testing.assert_array_equal(back[:, :, 3], img[:, :, 3])    # then A
