@@ -76,7 +76,6 @@ def test_exr_rgba_channel_order(tmp_path):
     hand back RGB-first regardless — an RGBA file previously came back as
     (A, B, G) in the first three slots."""
     import struct
-    import zlib
     from pyrenderer_tpu.utils import exr as x
 
     h, w = 3, 5
