@@ -344,3 +344,58 @@ def test_vmem_guard_rejects_oversized_scenes():
     ro, rd = _random_rays(64, seed=19)
     hit, t, f = pc.closest_hit(cs, ro, rd, 1e-5, 1e5)
     assert np.isfinite(np.asarray(t)).all()
+
+
+def test_wavefront_sort_optin_matches_default(terrain_scene, monkeypatch):
+    """The opt-in integrator-level wavefront sort (PYRENDERER_WF_SORT=1,
+    kept for re-evaluation after it measured slower on chip) must stay
+    CORRECT: identical per-pixel radiance to the default per-query path —
+    pixel ids travel with their sorted lanes and the RNG is keyed on them,
+    so only the work order may differ."""
+    from pyrenderer_tpu.core.integrator import maybe_build_accel, render_image
+
+    scene, cam, cfg = terrain_scene
+    cam = cam._replace(resolution=(24, 24))
+    # force sorting on regardless of scene size so the wf path activates
+    cfg = cfg.replace(spp=2, max_bounces=3, cluster_sort=True)
+    accel = maybe_build_accel(jax.tree.map(np.asarray, scene), "cluster")
+    img_default = np.asarray(
+        render_image(scene, cam, cfg, backend="cluster", accel=accel)
+    )
+    monkeypatch.setenv("PYRENDERER_WF_SORT", "1")
+    img_wf = np.asarray(
+        render_image(scene, cam, cfg, backend="cluster", accel=accel)
+    )
+    np.testing.assert_allclose(img_wf, img_default, rtol=1e-5, atol=1e-7)
+
+    # pbrt estimator through the same opt-in path
+    cfgp = cfg.replace(estimator="pbrt")
+    img_wf_p = np.asarray(
+        render_image(scene, cam, cfgp, backend="cluster", accel=accel)
+    )
+    monkeypatch.delenv("PYRENDERER_WF_SORT")
+    img_p = np.asarray(
+        render_image(scene, cam, cfgp, backend="cluster", accel=accel)
+    )
+    np.testing.assert_allclose(img_wf_p, img_p, rtol=1e-5, atol=1e-7)
+
+
+def test_all_knobs_composed(cs, terrain_scene):
+    """Every cluster feature at once — sort + watertight leaves +
+    suspend/resume rounds through the compiled-kernel semantics
+    (interpret) — against the watertight whole-table oracle."""
+    from pyrenderer_tpu.core.watertight import intersect_watertight
+
+    scene, _, _ = terrain_scene
+    ro, rd = _random_rays(384, seed=23)
+    h_o, t_o, f_o = intersect_watertight(scene, ro, rd, 1e-5, 1e5)
+    h_k, t_k, f_k = pc.closest_hit(
+        cs, ro, rd, 1e-5, 1e5, sort=True, watertight=True,
+        rounds=2, budget=4, interpret=True,
+    )
+    h_o, h_k = np.asarray(h_o), np.asarray(h_k)
+    assert (h_o == h_k).mean() > 0.995
+    both = h_o & h_k
+    np.testing.assert_allclose(
+        np.asarray(t_k)[both], np.asarray(t_o)[both], rtol=1e-4
+    )
