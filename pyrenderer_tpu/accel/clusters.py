@@ -20,8 +20,10 @@ This module re-designs the accelerator around what the hardware does well:
     scalar branch — no per-ray pointer chasing, no gathers;
   - per-ray running t-bounds feed back into the cull, so far geometry is
     skipped exactly like a BVH's ordered traversal prunes;
-  - rays are sorted by direction octant + origin Morton cell before the
-    sweep (wavefront coherence: a tile then touches few superclusters).
+  - rays are coherence-sorted before the sweep (sort_keys: origin Morton
+    cell major, 9-bit quantized direction minor, dead lanes last) when
+    the scene is large enough for the sort glue to pay — a tile then
+    touches few superclusters (RenderConfig.cluster_sort="auto").
 
 The reference analog of the *build* is bvh_taichi.py:69-104 (median split +
 escape pointers); here the same median-split idea yields a flat two-level
