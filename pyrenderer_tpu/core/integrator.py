@@ -80,6 +80,9 @@ def _safe_normalize(v):
 # selection switches to an accelerated backend — "cluster" (the lockstep
 # supercluster sweep, kernels/pallas_cluster.py) on TPU, "bvh" (stackless
 # escape-pointer traversal) on CPU — prebuilt on host by maybe_build_accel.
+# Chip-validated crossover (perf/RESULTS.md round 4): at 3,852 tris the
+# whole-table kernel still wins (11.1 vs 10.1 Mrays/s end-to-end); at
+# 8,204 the cluster sweep wins 2.2x (6.14 vs 2.75).
 AUTO_BRUTE_MAX_TRIS = 4096
 
 
