@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from pyrenderer_tpu import rng
 from pyrenderer_tpu.config import RenderConfig
-from pyrenderer_tpu.core import bsdf, lut, sampling
+from pyrenderer_tpu.core import bsdf, sampling
 from pyrenderer_tpu.core.sampling import INV_PI
 from pyrenderer_tpu.scene.types import (
     MAT_DIELECTRIC,

@@ -22,7 +22,6 @@ Both return the same (hit, t, tri) up to floating-point association.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

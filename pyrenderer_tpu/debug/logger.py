@@ -14,7 +14,6 @@ visualize_o3d).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import tempfile
 from typing import Optional
 
 import numpy as np

@@ -14,7 +14,7 @@ Python/NumPy, deliberately simple.
 
 from __future__ import annotations
 
-from math import pi, radians, sqrt, tan
+from math import pi, sqrt, tan
 
 import numpy as np
 

@@ -11,7 +11,6 @@ from math import pi, sqrt
 
 import numpy as np
 
-from pyrenderer_tpu.ref import rng_np
 from pyrenderer_tpu.ref.scalar import (
     INV_PI,
     U_BSDF_0,
