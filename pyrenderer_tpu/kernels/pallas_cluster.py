@@ -76,6 +76,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pyrenderer_tpu.kernels import vma
 from pyrenderer_tpu.accel.clusters import (
     GAMMA2_3,
     GROUP,
@@ -658,6 +659,15 @@ def _sweep(cs: ClusterScene, rays_lane, rays_col, t_in, slot_in, order,
     grid = (n // (RAY_TILE * SUB_TILES),)
     n_groups = cs.super_cols.shape[0] // 32
     resume = t_in is not None
+    # shard_map(check_vma) support: outputs inherit the rays' varying axes;
+    # replicated scene tables are promoted to match (kernels/vma.py)
+    v = vma.args_vma(rays_lane, rays_col, t_in, slot_in) if resume else \
+        vma.args_vma(rays_lane, rays_col)
+    order = vma.promote(order, v)
+    super_sorted = vma.promote(super_sorted, v)
+    bitw_v = vma.promote(cs.bitw, v)
+    child_v = vma.promote(cs.child_box, v)
+    tri_v = vma.promote(cs.tri, v)
     if resume:
         t, slot, done = pl.pallas_call(
             partial(_closest_kernel, n_groups, t0, watertight, SUB_TILES,
@@ -666,13 +676,13 @@ def _sweep(cs: ClusterScene, rays_lane, rays_col, t_in, slot_in, order,
             in_specs=_ray_specs() + [_COL_SPEC, _COL_SPEC] + _SCENE_IN_SPECS,
             out_specs=[_COL_SPEC, _COL_SPEC, _COL_SPEC],
             out_shape=[
-                jax.ShapeDtypeStruct((n, 1), jnp.float32),
-                jax.ShapeDtypeStruct((n, 1), jnp.int32),
-                jax.ShapeDtypeStruct((n, 1), jnp.int32),
+                vma.struct((n, 1), jnp.float32, v),
+                vma.struct((n, 1), jnp.int32, v),
+                vma.struct((n, 1), jnp.int32, v),
             ],
             interpret=interpret,
-        )(order, rays_lane, rays_col, t_in, slot_in, super_sorted, cs.bitw,
-          cs.child_box, cs.tri)
+        )(order, rays_lane, rays_col, t_in, slot_in, super_sorted, bitw_v,
+          child_v, tri_v)
         return t[:, 0], slot[:, 0], done[:, 0]
     t, slot = pl.pallas_call(
         partial(_closest_kernel, n_groups, t0, watertight, SUB_TILES,
@@ -681,12 +691,11 @@ def _sweep(cs: ClusterScene, rays_lane, rays_col, t_in, slot_in, order,
         in_specs=_ray_specs() + _SCENE_IN_SPECS,
         out_specs=[_COL_SPEC, _COL_SPEC],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            vma.struct((n, 1), jnp.float32, v),
+            vma.struct((n, 1), jnp.int32, v),
         ],
         interpret=interpret,
-    )(order, rays_lane, rays_col, super_sorted, cs.bitw, cs.child_box,
-      cs.tri)
+    )(order, rays_lane, rays_col, super_sorted, bitw_v, child_v, tri_v)
     return t[:, 0], slot[:, 0], None
 
 
@@ -696,15 +705,19 @@ def _sweep_any(cs: ClusterScene, rays_lane, rays_col, order, super_sorted, t0,
     n = rays_col.shape[0]
     grid = (n // (RAY_TILE * SUB_TILES),)
     n_groups = cs.super_cols.shape[0] // 32
+    v = vma.args_vma(rays_lane, rays_col)
+    order = vma.promote(order, v)
+    super_sorted = vma.promote(super_sorted, v)
     occ = pl.pallas_call(
         partial(_anyhit_kernel, n_groups, t0, watertight, SUB_TILES,
                 cs.dummy_super),
         grid=grid,
         in_specs=_ray_specs() + _SCENE_IN_SPECS,
         out_specs=_COL_SPEC,
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        out_shape=vma.struct((n, 1), jnp.int32, v),
         interpret=interpret,
-    )(order, rays_lane, rays_col, super_sorted, cs.bitw, cs.child_box, cs.tri)
+    )(order, rays_lane, rays_col, super_sorted, vma.promote(cs.bitw, v),
+      vma.promote(cs.child_box, v), vma.promote(cs.tri, v))
     return occ[:, 0] > 0
 
 

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pyrenderer_tpu.kernels import vma
+
 LANES = 128
 DEF_BM = 128          # sublane rows per grid step (256 blows the 16M VMEM
                       # scoped-stack limit: the unrolled triangle loop's
@@ -133,6 +135,8 @@ def anyhit_planes(tri_table, ox, oy, oz, dx, dy, dz, t1, t0=1e-5, block_m=DEF_BM
     bm = min(block_m, m)
     grid = (pl.cdiv(m, bm),)
     ray_spec = pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    v = vma.args_vma(ox, oy, oz, dx, dy, dz, t1)
+    tri_table = vma.promote(tri_table, v)
     return pl.pallas_call(
         partial(_anyhit_kernel, n_tris, t0),
         grid=grid,
@@ -142,7 +146,7 @@ def anyhit_planes(tri_table, ox, oy, oz, dx, dy, dz, t1, t0=1e-5, block_m=DEF_BM
             ray_spec,
         ],
         out_specs=pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, LANES), jnp.int32),
+        out_shape=vma.struct((m, LANES), jnp.int32, v),
         interpret=interpret,
     )(tri_table, ox, oy, oz, dx, dy, dz, t1)
 
@@ -171,6 +175,10 @@ def closest_hit_planes(
     grid = (pl.cdiv(m, bm),)
     ray_spec = pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kernel = partial(_closest_kernel, n_tris, t0)
+    # shard_map(check_vma) support: outputs inherit the rays' varying axes,
+    # and the replicated triangle table is promoted to match (kernels/vma.py)
+    v = vma.args_vma(ox, oy, oz, dx, dy, dz, t1)
+    tri_table = vma.promote(tri_table, v)
     t_best, tri_best = pl.pallas_call(
         kernel,
         grid=grid,
@@ -184,8 +192,8 @@ def closest_hit_planes(
             pl.BlockSpec((bm, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((m, LANES), jnp.int32),
+            vma.struct((m, LANES), jnp.float32, v),
+            vma.struct((m, LANES), jnp.int32, v),
         ],
         interpret=interpret,
     )(tri_table, ox, oy, oz, dx, dy, dz, t1)
