@@ -328,6 +328,71 @@ def bench_sort(res=224):
               f"{n/dt/1e6:8.1f} Mrays/s")
 
 
+# ---------------------------------------------------------------------------
+# binned: (ray x cluster) pair traversal vs the tile sweep, same wavefronts
+# ---------------------------------------------------------------------------
+
+def bench_binned(res=224):
+    """A/B the binned pair path (pallas_binned) against the tile sweep
+    (pallas_cluster) on the exact wavefronts of bench_sweep/bench_sort:
+    coherent camera grid, shuffled bounce-like, each for closest + any-hit."""
+    from pyrenderer_tpu.accel.clusters import build_clusters
+    from pyrenderer_tpu.kernels import pallas_binned as pb
+    from pyrenderer_tpu.kernels import pallas_cluster as pc
+    from pyrenderer_tpu.scene.procgen import terrain
+
+    verts, faces = terrain(res)
+    cs = build_clusters(verts, faces)
+    print(f"binned  scene: {faces.shape[0]} tris, {cs.n_clusters} clusters")
+    n = N_TILES * RAY_TILE
+
+    # coherent camera-like
+    w, h = 256, n // 256
+    ys, xs = np.mgrid[0:h, 0:w]
+    u = (xs.ravel() + 0.5) / w - 0.5
+    v = (ys.ravel() + 0.5) / h - 0.5
+    ro_c = np.broadcast_to(np.asarray([0.0, 1.2, 1.4], np.float32), (n, 3))
+    tgt = np.stack([u, np.zeros(n), v], axis=1)
+    rd_c = (tgt - ro_c).astype(np.float32)
+    rd_c /= np.linalg.norm(rd_c, axis=1, keepdims=True)
+
+    # bounce-like shuffled
+    rng = np.random.default_rng(2)
+    ro_b = np.stack([rng.uniform(-0.9, 0.9, n), rng.uniform(0.05, 0.4, n),
+                     rng.uniform(-0.9, 0.9, n)], axis=1).astype(np.float32)
+    rd_b = rng.standard_normal((n, 3)).astype(np.float32)
+    rd_b /= np.linalg.norm(rd_b, axis=1, keepdims=True)
+
+    cases = [("camera", jnp.asarray(np.asarray(ro_c)), jnp.asarray(rd_c)),
+             ("bounce", jnp.asarray(ro_b), jnp.asarray(rd_b))]
+    for label, ro, rd in cases:
+        for name, fn in (
+            ("binned", lambda ro, rd, eps: pb.closest_hit(
+                cs, ro + eps, rd, 1e-4, 1e9)[1]),
+            ("sweep ", lambda ro, rd, eps: pc.closest_hit(
+                cs, ro + eps, rd, 1e-4, 1e9,
+                sort=(label == "bounce"))[1]),
+        ):
+            f = repeat_jit(fn)
+            t0 = time.time()
+            np.asarray(f(ro, rd))
+            ct = time.time() - t0
+            dt = timeit(f, ro, rd, reps=3)
+            print(f"binned  {label} {name}: {dt/N_TILES*1e6:8.2f} us/tile  "
+                  f"{n/dt/1e6:8.1f} Mrays/s   (compile {ct:.1f}s)")
+        for name, fn in (
+            ("binned-any", lambda ro, rd, eps: pb.occluded(
+                cs, ro + eps, rd, 1e-4, 2.0)),
+            ("sweep -any", lambda ro, rd, eps: pc.occluded(
+                cs, ro + eps, rd, 1e-4, 2.0, sort=(label == "bounce"))),
+        ):
+            f = repeat_jit(fn)
+            np.asarray(f(ro, rd))
+            dt = timeit(f, ro, rd, reps=3)
+            print(f"binned  {label} {name}: {dt/N_TILES*1e6:8.2f} us/tile  "
+                  f"{n/dt/1e6:8.1f} Mrays/s")
+
+
 BENCHES = {
     "leaf": bench_leaf,
     "extract": bench_extract,
@@ -335,6 +400,7 @@ BENCHES = {
     "ctz": bench_ctz,
     "sweep": bench_sweep,
     "sort": bench_sort,
+    "binned": bench_binned,
 }
 
 

@@ -49,6 +49,9 @@ from pyrenderer_tpu.accel.bvh import GAMMA2_3
 LANE_TRIS = 128   # triangles per cluster = VPU lane width
 GROUP = 16        # clusters per supercluster
 TRI_ROWS = 16     # rows per cluster in the packed (K*16, 128) table (9 used)
+BIN = 4           # clusters per BIN (kernels/pallas_binned pair granularity:
+                  # 512 triangles — adjacent clusters are median-split
+                  # siblings, so a bin's box is tight)
 
 MISS_T = 3.0e38
 
@@ -80,6 +83,10 @@ class ClusterScene:
                              # supercluster id K//GROUP, used by the
                              # kernel's pair-peeled sweep when a visit pops
                              # only one real supercluster (dummy_super)
+    bin_box: jnp.ndarray     # (KB_pad32, 128) f32 — one row per BIN of 4
+                             # adjacent clusters (512 tris), lanes 0..5 =
+                             # bmin|bmax, rows padded to a 32-multiple with
+                             # NaN boxes (the binned prepass's box table)
     super_box: jnp.ndarray   # (6, S) f32 — bmin.xyz|bmax.xyz columns per supercluster
     super_cols: jnp.ndarray  # (S_pad, 128) f32 — same boxes, one row per
                              # supercluster with comps in lanes 0..5, S
@@ -208,6 +215,26 @@ def build_clusters(vertices, faces) -> ClusterScene:
     child[k:, 0:3] = np.nan
     child[k:, 3:6] = np.nan
 
+    # bin boxes: BIN adjacent clusters per row (inf/-inf padding of empty
+    # clusters vanishes under min/max; fully-empty bins become inverted
+    # boxes, then NaN below)
+    kb = k // BIN
+    bmin = np.minimum.reduce(
+        [np.where(np.isnan(cmin), np.inf, cmin).reshape(kb, BIN, 3)[:, i]
+         for i in range(BIN)]
+    )
+    bmax = np.maximum.reduce(
+        [np.where(np.isnan(cmax), -np.inf, cmax).reshape(kb, BIN, 3)[:, i]
+         for i in range(BIN)]
+    )
+    empty = ~np.isfinite(bmin).all(axis=1)
+    kb32 = -(-kb // 32) * 32
+    bin_box = np.zeros((kb32, LANE_TRIS), np.float32)
+    bin_box[:, 0:3] = np.nan
+    bin_box[:, 3:6] = np.nan
+    bin_box[:kb, 0:3] = np.where(empty[:, None], np.nan, bmin)
+    bin_box[:kb, 3:6] = np.where(empty[:, None], np.nan, bmax)
+
     s_pad = -(-s // 32) * 32
     super_cols = np.zeros((s_pad, LANE_TRIS), np.float32)
     super_cols[:, 0:3] = np.nan          # padded rows: NaN boxes never cross
@@ -225,6 +252,7 @@ def build_clusters(vertices, faces) -> ClusterScene:
     return ClusterScene(
         tri=jnp.asarray(tri_rows.reshape(k * TRI_ROWS, LANE_TRIS)),
         child_box=jnp.asarray(child),
+        bin_box=jnp.asarray(bin_box),
         super_box=jnp.asarray(super_box),
         super_cols=jnp.asarray(super_cols),
         bitw=jnp.asarray(bitw[:, None]),

@@ -93,6 +93,18 @@ AUTO_BRUTE_MAX_TRIS = 4096
 AUTO_SORT_MIN_CLUSTERS = 256
 
 
+def _cluster_impl_binned() -> bool:
+    """Opt-in alternative cluster traversal (PYRENDERER_CLUSTER_IMPL=binned):
+    the sort-binned pair kernel of kernels/pallas_binned.py. Chip-measured
+    at parity with the tile sweep on shuffled bounce wavefronts (without
+    needing any coherence sort) but ~1.7x slower on coherent ones, so the
+    sweep stays the default — kept wired for re-evaluation, like the
+    integrator-level wavefront sort (perf/RESULTS.md design experiments)."""
+    import os
+
+    return os.environ.get("PYRENDERER_CLUSTER_IMPL", "") == "binned"
+
+
 def resolve_cluster_sort(cfg: RenderConfig, accel) -> bool:
     """Concrete sort decision for a cluster query ("auto" -> by scene size)."""
     if cfg.cluster_sort == "auto":
@@ -302,6 +314,11 @@ def _closest(scene, tables, cfg, ro, rd, t1, sort=None):
             ro, rd, cfg.t_min, t1,
         )
     if b == "cluster":
+        if _cluster_impl_binned():
+            from pyrenderer_tpu.kernels import pallas_binned as pb
+
+            return pb.closest_hit(tables.accel, ro, rd, cfg.t_min, t1,
+                                  watertight=cfg.cluster_watertight)
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
         return pc.closest_hit(
@@ -335,6 +352,11 @@ def _any_hit(scene, tables, cfg, ro, rd, t1, sort=None):
         )
         return hit
     if b == "cluster":
+        if _cluster_impl_binned():
+            from pyrenderer_tpu.kernels import pallas_binned as pb
+
+            return pb.occluded(tables.accel, ro, rd, cfg.t_min, t1,
+                               watertight=cfg.cluster_watertight)
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
         return pc.occluded(

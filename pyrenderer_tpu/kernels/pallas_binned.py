@@ -1,47 +1,55 @@
-"""Pallas TPU kernel: binned (ray x cluster) pair traversal for large scenes.
+"""Pallas TPU kernel: binned (ray x bin) pair traversal for incoherent
+wavefronts over large scenes.
 
-The lockstep tile sweep (kernels/pallas_cluster.py) pays for the UNION of
-the clusters any ray in a 128-ray tile needs: an exact CPU replay measured
-~89 leaf visits per sorted-incoherent tile on terrain100k — 0.70 visits
-per ray slot — while a ray ALONE crosses only ~0.5 (bounce wavefronts) to
-~2 (camera wavefronts) cluster AABBs on average (p99 <= 8; simulated on
-the same wavefronts perf/RESULTS.md benchmarks). The union is the entire
-incoherent-wavefront cost. This module removes it:
+The lockstep tile sweep (kernels/pallas_cluster.py) is near-optimal for
+COHERENT wavefronts: after the coherence sort, its tile-union leaf count
+sits within ~1.3x of the per-ray-optimal sum. Its incoherent cost comes
+from per-visit overheads — the vector->scalar bit-pack extract
+(~0.3-0.7 us) and child culls per visited supercluster — multiplied by
+the many superclusters a scattered tile touches. This module removes the
+per-visit overheads by MOVING THE DATA-DEPENDENT ITERATION INTO ONE SORT:
 
-  1. PREPASS (Pallas): rays in lanes, 8 cluster boxes per step — a dense
-     per-ray x per-cluster slab test, bit-packed per ray into ceil(K/32)
-     int32 words held in VMEM scratch. The kernel then extracts up to
-     W_SLOTS candidate cluster ids PER RAY (vectorized count-trailing-
-     zeros: isolate lowest bit, exponent of its f32 cast is the index)
-     plus an overflow flag for the p99 tail.
-  2. BIN (XLA): the (N, W) candidate table flattens to (ray, cluster)
-     pairs, argsorts by cluster id, and each cluster's pair run is padded
-     to a 128-multiple, so every 128-pair block belongs to ONE cluster.
-  3. LEAF (Pallas): per block, the block's cluster id — scalar-prefetched
-     and fed to the triangle table's BlockSpec index_map, so Mosaic DMAs
-     exactly that cluster's (16, 128) rows — runs ONE dense (128 pairs x
-     128 tris) Moeller-Trumbore (or PBRT watertight) at full VPU width.
-     No per-visit bit-pack extracts, no while-loops, no unions: leaf work
-     is proportional to what each ray individually needs.
-  4. REDUCE (XLA): per-pair packed keys (t bits | winning lane, the
-     _key_min trick) gather back to ray-major (N, W) and a min picks the
-     closest hit. Overflow rays (> W candidates, ~1%) re-run through the
-     tile sweep under a lax.cond — exactness is never sacrificed.
+  1. PREPASS (Pallas): rays in lanes, 8 bin AABBs per step — a dense
+     per-ray x per-bin slab test (a BIN is 4 adjacent 128-triangle
+     clusters = 512 triangles; median-split siblings, so the box is
+     tight). Crossing bits pack into VMEM-scratch words, and the kernel
+     peels the first W_SLOTS set bits per ray into candidate bin ids
+     (vectorized ctz: isolate lowest bit, f32-exponent is the index),
+     plus an overflow flag for the tail.
+  2. SORT (XLA): one 3-array lax.sort bins the (bin, ray, slot) triples
+     by bin id. Empty slots carry a sentinel key and sink to the end.
+     Ray data follows with one jnp.take row gather whose indices are
+     piecewise-ascending (fancy row-indexing of the same table measured
+     ~60 ms on chip; sorted-index take is ~10x cheaper).
+  3. LEAF (Pallas): per 128-pair block, iterate the block's DISTINCT bin
+     ids (sorted, so typically one) with a masked while-loop: one scalar
+     extract per distinct bin, then the bin's 4 clusters run the dense
+     (128 pairs x 128 tris) Moeller-Trumbore/watertight chunks straight
+     off the VMEM-resident (K*16, 128) triangle table, with per-pair t1
+     bounds and 2 extra key bits for the cluster within the bin.
+     All-sentinel blocks exit after one extract; all-sentinel grid steps
+     after one.
+  4. REDUCE (XLA): packed keys (masked t bits | triangle-in-bin) unsort
+     to ray-major (N, W) and a min picks the closest hit. Overflow rays
+     (> W_SLOTS crossing bins, the p95+ tail) re-trace exactly through
+     the tile sweep under a lax.cond that costs nothing when none
+     overflow.
 
-Because the triangle table is streamed per block from HBM (the prepass
-only keeps the (K, 128) cluster boxes resident), this path has NO VMEM
-scene ceiling — scenes past the sweep's ~200k-triangle limit traverse
-fine on one chip.
+Compared to the sweep on a shuffled bounce wavefront, each pair pays 512
+dense tests with ZERO traversal overhead — and the VPU is so much faster
+at dense work (~20 G tests/s measured) that this wins whenever the
+wavefront's tile unions are large. Dead rays (t1 = 0) produce no
+candidates, so terminated-path compaction falls out of the binning for
+free, with no coherence sort anywhere.
 
-Reference crosswalk: this plays the role of the stackless BVH walk
-(reference mathematics/intersection_taichi.py:256-287) for incoherent
-wavefronts; the binning itself is the TPU answer to what GPU wavefront
-tracers do with per-material/per-node ray queues — expressed as one sort
-plus two dense kernels instead of divergent queues.
+Reference crosswalk: this plays the stackless BVH walk's role (reference
+mathematics/intersection_taichi.py:256-287) for incoherent bounces; the
+binning is the TPU answer to GPU wavefront tracers' per-node ray queues,
+expressed as one sort plus two dense kernels instead of divergent queues.
 
-Dead rays (t1 = 0) produce zero candidates, so terminated-path compaction
-falls out of the binning for free — no coherence sort, no dead-lane
-shuffling, wavefront order is irrelevant.
+Returned t carries <= 2^-14 relative rounding (the packed key spends 9
+mantissa bits on the triangle-in-bin index); consumers needing exact t
+re-derive it from the returned face id, as the integrator does.
 """
 
 from __future__ import annotations
@@ -55,34 +63,45 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pyrenderer_tpu.accel.clusters import (
+    BIN,
     LANE_TRIS,
-    TRI_ROWS,
+    MISS_T,
     ClusterScene,
     slot_to_face,
 )
+from pyrenderer_tpu.kernels import vma
 from pyrenderer_tpu.kernels.pallas_cluster import (
-    MISS_MASKED_BITS,
     RAY_TILE,
     _box_slab,
+    _check_vmem,
     _leaf_mt_chunk,
     _leaf_wt_chunk,
     _pack_rays,
 )
 
-# candidate cluster slots per ray. 8 covers p99 of both bounce and camera
-# wavefronts on the simulated terrain scenes; the tail routes through the
-# sweep. Env knob so tests can force the overflow path with a tiny W.
-W_SLOTS = int(os.environ.get("PYRENDERER_BINNED_W", "8"))
+# candidate bin slots per ray: covers ~p95 of bounce/shadow wavefronts at
+# the 512-triangle bin size (simulated on the terrain scenes); the tail
+# routes through the sweep. Must be even (block-count divisibility). Env
+# knob so tests and the perf harness can force the overflow path.
+W_SLOTS = int(os.environ.get("PYRENDERER_BINNED_W", "6"))
 SUB = 8            # ray tiles per prepass grid step (DMA amortization)
-BPS = 8            # pair blocks per leaf grid step
+BPS = 16           # pair blocks per leaf grid step
 SENTINEL = 0x7FFFFFFF   # empty candidate slot: sorts after every real id
-MISS_KEY = int(MISS_MASKED_BITS)   # python int: a module-level jnp scalar
-                                   # would be captured as a kernel constant
+BIN_TRIS = BIN * LANE_TRIS
+_LOW = BIN_TRIS - 1     # low key bits carry the triangle index within a bin
+# python int (a module-level jnp scalar would become a kernel constant):
+# MISS_T's bits with the low index bits cleared — the all-miss key value
+MISS_KEY = int(
+    __import__("numpy").int32(
+        __import__("numpy").float32(MISS_T).view(__import__("numpy").int32)
+        & ~__import__("numpy").int32(_LOW)
+    )
+)
 
 
-def _prepass_kernel(n_words, w_slots, t0, sub, rays_ref, child_ref, out_ref,
+def _prepass_kernel(n_words, w_slots, t0, sub, rays_ref, box_ref, out_ref,
                     words_ref):
-    """Per 128-ray tile: slab-test all K cluster boxes (8 per step, rays in
+    """Per 128-ray tile: slab-test all KB bin boxes (8 per step, rays in
     lanes), pack per-ray crossing bits into (n_words, 128) VMEM scratch,
     then peel the first `w_slots` set bits per ray into candidate ids.
 
@@ -100,7 +119,7 @@ def _prepass_kernel(n_words, w_slots, t0, sub, rays_ref, child_ref, out_ref,
         def word(w, _):
             acc = jnp.zeros((1, RAY_TILE), jnp.int32)
             for s in range(4):      # 4 x 8 boxes = one 32-bit word
-                blk = child_ref[pl.ds((w * 4 + s) * 8, 8), :]
+                blk = box_ref[pl.ds((w * 4 + s) * 8, 8), :]
                 crossed = _box_slab(blk, o, inv, t0, t1)
                 w8 = jnp.left_shift(jnp.int32(1), s * 8 + iota8)
                 # bits are disjoint per (s, sublane): add == or
@@ -144,46 +163,79 @@ def _prepass_kernel(n_words, w_slots, t0, sub, rays_ref, child_ref, out_ref,
     jax.lax.fori_loop(0, sub, sub_tile, 0)
 
 
-def _leaf_kernel(bps, t0, watertight, ids_ref, valid_ref, rcol_ref,
-                 *tri_and_out):
-    """Per grid step: `bps` 128-pair blocks. Block b's cluster triangles
-    arrive pre-DMA'd via the scalar-prefetched index_map (tri_and_out[b]);
-    one dense (128, 128) leaf evaluation each, packed-key output."""
-    tri_refs = tri_and_out[:bps]
-    out_ref = tri_and_out[bps]
-    step = pl.program_id(0)
+def _leaf_kernel(bps, t0, watertight, ids_ref, rcol_ref, tri_ref, out_ref):
+    """Per grid step: `bps` 128-pair blocks of the SORTED pair stream.
+    Each block iterates its distinct bin ids (usually one — pairs are
+    sorted by bin) with a masked while-loop: one scalar extract per
+    distinct bin, then the bin's BIN clusters run the dense column-form
+    leaf chunks (kernels/pallas_cluster._leaf_*_chunk) against all 128
+    pairs, re-packed with the cluster-in-bin in key bits 7..8. Sentinel
+    pairs (empty slots, sorted last) terminate the loop; an all-sentinel
+    step exits after a single check."""
+    from pyrenderer_tpu.accel.clusters import TRI_ROWS
+
     f = _leaf_wt_chunk if watertight else _leaf_mt_chunk
+
     for b in range(bps):
-        rcol = rcol_ref[pl.ds(b * RAY_TILE, RAY_TILE), :]
         out_ref[pl.ds(b * RAY_TILE, RAY_TILE), :] = jnp.full(
             (RAY_TILE, 1), MISS_KEY, jnp.int32
         )
 
-        @pl.when(valid_ref[step * bps + b] > 0)
-        def _(b=b, rcol=rcol):
+    # whole-step skip: ids ascend across the step's blocks, so if the very
+    # first lane is the sentinel every pair in the step is padding
+    @pl.when(ids_ref[0, 0] != SENTINEL)
+    def _():
+        def block(b, _):
+            idr = ids_ref[pl.ds(b * RAY_TILE, RAY_TILE), :]   # (128, 1)
+            rcol = rcol_ref[pl.ds(b * RAY_TILE, RAY_TILE), :]
             oc = (rcol[:, 0:1], rcol[:, 1:2], rcol[:, 2:3])
             dc = (rcol[:, 3:4], rcol[:, 4:5], rcol[:, 5:6])
             t1c = rcol[:, 6:7]
-            keys = f(tri_refs[b][...], oc, dc, t0, t1c)
-            out_ref[pl.ds(b * RAY_TILE, RAY_TILE), :] = keys
 
-    return None
+            def body(c):
+                m, rem, best = c
+                cand = jnp.full((RAY_TILE, 1), MISS_KEY, jnp.int32)
+                for ci in range(BIN):
+                    blk = tri_ref[
+                        pl.ds((m * BIN + ci) * TRI_ROWS, TRI_ROWS), :
+                    ]
+                    key7 = f(blk, oc, dc, t0, t1c)        # t|lane7
+                    key9 = jnp.bitwise_or(
+                        jnp.bitwise_and(key7, ~jnp.int32(_LOW)),
+                        jnp.bitwise_or(
+                            jnp.int32(ci << 7),
+                            jnp.bitwise_and(key7, jnp.int32(127)),
+                        ),
+                    )
+                    cand = jnp.minimum(cand, key9)
+                mine = rem == m
+                best = jnp.minimum(best, jnp.where(mine, cand, MISS_KEY))
+                rem = jnp.where(mine, jnp.int32(SENTINEL), rem)
+                return jnp.min(rem), rem, best
+
+            init = (
+                jnp.min(idr),
+                idr,
+                jnp.full((RAY_TILE, 1), MISS_KEY, jnp.int32),
+            )
+            _, _, best = jax.lax.while_loop(
+                lambda c: c[0] != SENTINEL, body, init
+            )
+            out_ref[pl.ds(b * RAY_TILE, RAY_TILE), :] = best
+            return 0
+
+        jax.lax.fori_loop(0, bps, block, 0)
 
 
 def _prepass_call(cs: ClusterScene, rays_lane, t0, w_slots, interpret):
     """-> (ids (n_pad, W) int32 ascending-per-ray, overflow (n_pad,) bool)."""
-    k = cs.n_clusters
-    k32 = -(-k // 32) * 32
-    child = cs.child_box[:k]
-    if k32 > k:
-        child = jnp.concatenate(
-            [child, jnp.full((k32 - k, LANE_TRIS), jnp.nan, jnp.float32)]
-        )
+    kb32 = cs.bin_box.shape[0]
     n_pad = rays_lane.shape[0] // 8 * RAY_TILE
     tiles = n_pad // RAY_TILE
     rows = w_slots + 1
+    v = vma.args_vma(rays_lane)
     out = pl.pallas_call(
-        partial(_prepass_kernel, k32 // 32, w_slots, t0, SUB),
+        partial(_prepass_kernel, kb32 // 32, w_slots, t0, SUB),
         grid=(tiles // SUB,),
         in_specs=[
             pl.BlockSpec((8 * SUB, RAY_TILE), lambda i: (i, 0),
@@ -192,102 +244,69 @@ def _prepass_call(cs: ClusterScene, rays_lane, t0, w_slots, interpret):
         ],
         out_specs=pl.BlockSpec((rows * SUB, RAY_TILE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows * tiles, RAY_TILE), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((k32 // 32, RAY_TILE), jnp.int32)],
+        out_shape=vma.struct((rows * tiles, RAY_TILE), jnp.int32, v),
+        scratch_shapes=[pltpu.VMEM((kb32 // 32, RAY_TILE), jnp.int32)],
         interpret=interpret,
-    )(rays_lane, child)
+    )(rays_lane, vma.promote(cs.bin_box, v))
     out = out.reshape(tiles, rows, RAY_TILE).transpose(0, 2, 1)
     out = out.reshape(n_pad, rows)
     return out[:, :w_slots], out[:, w_slots] > 0
 
 
-def _leaf_call(cs: ClusterScene, ids_blk, valid_blk, prcol, t0, watertight,
-               interpret):
+def _leaf_call(cs: ClusterScene, sortd, prcol, t0, watertight, interpret):
     p_pad = prcol.shape[0]
     n_blocks = p_pad // RAY_TILE
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,          # ids_blk, valid_blk
-        grid=(n_blocks // BPS,),
-        in_specs=[
-            pl.BlockSpec((BPS * RAY_TILE, 8), lambda i, ids, vld: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [
-            pl.BlockSpec(
-                (TRI_ROWS, LANE_TRIS),
-                partial(lambda b, i, ids, vld: (ids[i * BPS + b], 0), b),
-                memory_space=pltpu.VMEM,
-            )
-            for b in range(BPS)
-        ],
-        out_specs=pl.BlockSpec((BPS * RAY_TILE, 1), lambda i, ids, vld: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
+    v = vma.args_vma(sortd, prcol)
     keys = pl.pallas_call(
         partial(_leaf_kernel, BPS, t0, watertight),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((p_pad, 1), jnp.int32),
+        grid=(n_blocks // BPS,),
+        in_specs=[
+            pl.BlockSpec((BPS * RAY_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BPS * RAY_TILE, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # tri table resident
+        ],
+        out_specs=pl.BlockSpec((BPS * RAY_TILE, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=vma.struct((p_pad, 1), jnp.int32, v),
         interpret=interpret,
-    )(ids_blk, valid_blk, prcol, *([cs.tri] * BPS))
+    )(sortd[:, None], prcol, vma.promote(cs.tri, v))
     return keys[:, 0]
 
 
 @partial(jax.jit, static_argnames=("t0", "watertight", "interpret", "w"))
 def _binned_core(cs: ClusterScene, ro, rd, t1v, t0, watertight, interpret, w):
-    """-> (kmin (n_pad,) packed keys, cwin (n_pad,) winning cluster,
+    """-> (kmin (n_pad,) packed keys, binwin (n_pad,) winning bin,
     overflow (n_pad,) bool). Rays padded to a 128*SUB multiple by caller."""
     n_pad = ro.shape[0]
-    k = cs.n_clusters
     lane, cols = _pack_rays(ro, rd, t1v)
     ids, ovf = _prepass_call(cs, lane, t0, w, interpret)
 
     flat = ids.reshape(-1)                          # (P,) ray-major
     p = flat.shape[0]
-    perm = jnp.argsort(flat)                        # sentinels last
-    sids = jnp.minimum(flat[perm], k)               # sentinel bucket = k
-    # per-cluster segment offsets/counts from the sorted ids (no scatter)
-    coff = jnp.searchsorted(sids, jnp.arange(k + 1, dtype=jnp.int32)
-                            ).astype(jnp.int32)     # (k+1,): coff[k] = P_real
-    cnt = jnp.diff(coff)                            # (k,) pairs per cluster
-    # block-padded layout: cluster j's pairs at boff[j], padded to 128s
-    bcnt = -(-cnt // RAY_TILE) * RAY_TILE
-    boff = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(bcnt).astype(jnp.int32)]
-    )                                               # (k+1,)
-    p_pad = -(-(p + k * RAY_TILE) // (BPS * RAY_TILE)) * (BPS * RAY_TILE)
-    n_blocks = p_pad // RAY_TILE
-    bstart = jnp.arange(n_blocks, dtype=jnp.int32) * RAY_TILE
-    jblk = (jnp.searchsorted(boff, bstart, side="right") - 1).astype(jnp.int32)
-    valid_blk = jblk < k
-    ids_blk = jnp.where(valid_blk, jblk, 0).astype(jnp.int32)
-    vld_blk = valid_blk.astype(jnp.int32)
+    pad = (-p) % (BPS * RAY_TILE)
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.full((pad,), SENTINEL, jnp.int32)]
+        )
+    iota = jnp.arange(p + pad, dtype=jnp.int32)
+    # one fused sort bins the pairs AND carries (ray, slot) along
+    sortd, ray_s, perm = jax.lax.sort(
+        [flat, iota // w, iota], num_keys=1
+    )
+    prcol = jnp.take(cols, ray_s, axis=0)           # (p_pad, 8)
 
-    # padded slot -> source pair -> ray; intra-block pads get dead rays
-    jslot = jnp.repeat(jblk, RAY_TILE)              # (p_pad,)
-    jslot_c = jnp.minimum(jslot, k - 1)
-    rank = jnp.arange(p_pad, dtype=jnp.int32) - boff[jslot_c]
-    src_ok = (jslot < k) & (rank < cnt[jslot_c])
-    src = jnp.where(src_ok, coff[jslot_c] + rank, 0)
-    pray = perm[src] // w
-    prcol = cols[pray]                              # (p_pad, 8)
-    # dead out-of-segment slots: t1 = 0 rejects every triangle
-    prcol = jnp.where(src_ok[:, None], prcol, 0.0)
+    keys_sorted = _leaf_call(cs, sortd, prcol, t0, watertight, interpret)
 
-    keys_pad = _leaf_call(cs, ids_blk, vld_blk, prcol, t0, watertight,
-                          interpret)
-
-    # back to ray-major: slot s of ray r sits at boff[id] + (sorted pos
-    # within its cluster segment)
-    inv = jnp.zeros((p,), jnp.int32).at[perm].set(
-        jnp.arange(p, dtype=jnp.int32))
-    idc = jnp.minimum(flat, k - 1)
-    real = flat < k
-    ppos = jnp.where(real, boff[idc] + (inv - coff[idc]), 0)
-    key_s = jnp.where(real, keys_pad[ppos], MISS_KEY)
+    # unsort: original slot s sits at sorted position inv[s]
+    inv = jnp.zeros((p + pad,), jnp.int32).at[perm].set(iota)
+    key_s = jnp.take(keys_sorted, inv)[:p]
     keymat = key_s.reshape(n_pad, w)
     kmin = jnp.min(keymat, axis=1)
     amin = jnp.argmin(keymat, axis=1)
-    cwin = jnp.take_along_axis(ids, amin[:, None], axis=1)[:, 0]
-    return kmin, cwin, ovf
+    binwin = jnp.take_along_axis(ids, amin[:, None], axis=1)[:, 0]
+    return kmin, binwin, ovf
 
 
 def _pad_rays(ro, rd, t1):
@@ -306,10 +325,10 @@ def _pad_rays(ro, rd, t1):
 def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
                 interpret=False):
     """Binned closest hit: same contract as pallas_cluster.closest_hit
-    (hit, t, face) with the same <= 2^-17 packed-t rounding. Needs no
-    coherence sort — performance is wavefront-order independent. Overflow
-    rays (> W_SLOTS candidate clusters, the p99 tail) are re-traced
-    exactly by the tile sweep under a lax.cond that costs nothing when no
+    (hit, t, face) except t carries <= 2^-14 packed rounding (see module
+    docstring). Needs no coherence sort — performance is wavefront-order
+    independent. Overflow rays (> W_SLOTS crossing bins) re-trace exactly
+    through the tile sweep under a lax.cond that costs nothing when no
     ray overflows. Off-TPU (and not interpreting) routes to the pure-JAX
     oracle like the sweep does."""
     ro, rd, t1 = jax.lax.stop_gradient((ro, rd, t1))
@@ -319,15 +338,18 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
         hit, t, slot = closest_hit_ref(cs, ro, rd, t0, t1,
                                        watertight=watertight)
         return hit, t, slot_to_face(cs, slot).astype(jnp.int32)
+    _check_vmem(cs)
     ro_p, rd_p, t1v, n = _pad_rays(ro, rd, t1)
-    kmin, cwin, ovf = _binned_core(cs, ro_p, rd_p, t1v, float(t0),
-                                   watertight, interpret, W_SLOTS)
-    kmin, cwin, ovf = kmin[:n], cwin[:n], ovf[:n]
+    kmin, binwin, ovf = _binned_core(cs, ro_p, rd_p, t1v, float(t0),
+                                     watertight, interpret, W_SLOTS)
+    kmin, binwin, ovf = kmin[:n], binwin[:n], ovf[:n]
     hit = kmin < MISS_KEY
     t = jax.lax.bitcast_convert_type(
-        jnp.bitwise_and(kmin, ~jnp.int32(127)), jnp.float32
+        jnp.bitwise_and(kmin, ~jnp.int32(_LOW)), jnp.float32
     )
-    slot = jnp.where(hit, cwin * LANE_TRIS + jnp.bitwise_and(kmin, 127), -1)
+    slot = jnp.where(
+        hit, binwin * BIN_TRIS + jnp.bitwise_and(kmin, _LOW), -1
+    )
 
     def with_residual(_):
         from pyrenderer_tpu.kernels import pallas_cluster as pc
@@ -362,6 +384,7 @@ def occluded(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
         from pyrenderer_tpu.accel.clusters import occluded_ref
 
         return occluded_ref(cs, ro, rd, t0, t1, watertight=watertight)
+    _check_vmem(cs)
     ro_p, rd_p, t1v, n = _pad_rays(ro, rd, t1)
     kmin, _, ovf = _binned_core(cs, ro_p, rd_p, t1v, float(t0),
                                 watertight, interpret, W_SLOTS)

@@ -177,3 +177,26 @@ def test_binned_adversarial_geometry():
         np.testing.assert_allclose(
             np.asarray(t_p)[both], np.asarray(t_b)[both], rtol=1e-3
         )
+
+
+def test_binned_optin_render_matches_default(terrain_scene, monkeypatch):
+    """PYRENDERER_CLUSTER_IMPL=binned routes the integrator's cluster
+    queries through the binned kernel; on CPU both impls share the
+    pure-JAX oracle semantics, so the rendered image must match the
+    default path bit-for-bit apart from fp-tie faces."""
+    from pyrenderer_tpu.core.integrator import maybe_build_accel, render_image
+
+    scene, cam, cfg = terrain_scene
+    cam = cam._replace(resolution=(24, 24))
+    cfg = cfg.replace(spp=2, max_bounces=3)
+    accel = maybe_build_accel(jax.tree.map(np.asarray, scene), "cluster")
+    img_default = np.asarray(
+        render_image(scene, cam, cfg, backend="cluster", accel=accel)
+    )
+    monkeypatch.setenv("PYRENDERER_CLUSTER_IMPL", "binned")
+    img_binned = np.asarray(
+        render_image(scene, cam, cfg, backend="cluster", accel=accel)
+    )
+    assert np.isfinite(img_binned).all()
+    close = np.isclose(img_binned, img_default, rtol=1e-4, atol=1e-6).mean()
+    assert close > 0.99
