@@ -133,3 +133,54 @@ def test_sharded_cluster_accel_replicated():
     )
     assert np.isfinite(got).all()
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
+def test_pallas_kernels_inside_checked_shard_map(setup):
+    """Regression: jax >= 0.9 shard_map(check_vma=True) rejects pallas_call
+    outputs without explicit vma AT TRACE TIME ("vma on jax.ShapeDtypeStruct
+    must not be None"). On real TPU meshes the dp/sp render runs the Pallas
+    backends inside the shard_map, which the CPU dryrun never exercises
+    (backends resolve to brute/bvh off-TPU) — fixed by kernels/vma.py
+    (args_vma/struct/promote) and verified numerically on-chip
+    (__graft_entry__ on a 1-device TPU mesh). Here: trace the compiled-mode
+    kernels through a checked CPU mesh with eval_shape, which runs the
+    pallas_call abstract evaluation where the bug bit, without executing.
+    (Full interpret-mode EXECUTION under check_vma trips an unrelated jax
+    hlo_interpreter limitation — mixed-vma dynamic_slice — so only the
+    type-level path is testable off-chip.)"""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from pyrenderer_tpu.accel import clusters as cl
+    from pyrenderer_tpu.kernels import pallas_cluster as pc
+    from pyrenderer_tpu.kernels import pallas_intersect as pk
+
+    scene, camera, cfg, px, py = setup
+    tri_table = pk.pack_triangles(scene.vertices, scene.faces)
+    cs = cl.build_clusters(np.asarray(scene.vertices), np.asarray(scene.faces))
+    mesh = make_mesh(8, dp=8, sp=1)
+
+    rs = np.random.RandomState(3)
+    n = 1024
+    ro = jnp.asarray(rs.uniform(-0.8, 0.8, (n, 3)), jnp.float32)
+    rd = rs.normal(size=(n, 3))
+    rd = jnp.asarray(rd / np.linalg.norm(rd, axis=1, keepdims=True),
+                     jnp.float32)
+
+    def body(ro, rd):
+        h1, t1_, f1 = pk.closest_hit(tri_table, ro, rd, 1e-5, 1e5)
+        # interpret=True so the CPU run traces the actual Pallas kernel
+        # (off-TPU the default path reroutes to the pure-JAX oracle);
+        # eval_shape never executes it, only abstract-evals the trace
+        h2, t2_, f2 = pc.closest_hit(cs, ro, rd, 1e-5, 1e5, sort=True,
+                                     interpret=True)
+        occ = pk.occluded(tri_table, ro, rd, 1e-5, 1.0)
+        return h1, t1_, f1, h2, t2_, f2, occ
+
+    sharded = partial(
+        jax.shard_map, mesh=mesh, in_specs=(P("dp"), P("dp")),
+        out_specs=tuple([P("dp")] * 7),
+    )(body)
+    shapes = jax.eval_shape(sharded, ro, rd)
+    assert shapes[0].shape == (n,) and shapes[6].shape == (n,)
