@@ -23,3 +23,4 @@ run BENCH_SCENE=terrain100k BENCH_WATERTIGHT=1      # leak-free leaves A/B
 run BENCH_SCENE=cornell     BENCH_ESTIMATOR=pbrt    # physically-based rows
 run BENCH_SCENE=terrain100k BENCH_ESTIMATOR=pbrt
 run BENCH_SCENE=spheres     BENCH_ESTIMATOR=pbrt    # metal/dielectric scene
+run BENCH_SCENE=terrain100k PYRENDERER_CLUSTER_IMPL=binned  # opt-in traversal A/B
