@@ -1,11 +1,11 @@
-"""Binned (ray x cluster) pair-traversal tests (kernels/pallas_binned.py).
+"""Binned (ray x bin) pair-traversal tests (kernels/pallas_binned.py).
 
-The binned path is the incoherent-wavefront alternative to the lockstep
-tile sweep: per-ray candidate clusters from a dense prepass, pairs sorted
-by cluster, one dense leaf op per 128-pair block, overflow tail through
-the sweep. Oracles: the O(N*T) brute intersector and the watertight
-whole-table intersector — the same oracles the sweep kernel is held to
-(tests/test_cluster.py)."""
+The binned path is the sort-driven alternative to the lockstep tile
+sweep: per-ray candidate 512-triangle bins from a dense prepass, pairs
+grouped by one lax.sort, masked per-bin leaf blocks, overflow tail
+through the sweep. Oracles: the O(N*T) brute intersector and the
+watertight whole-table intersector — the same oracles the sweep kernel
+is held to (tests/test_cluster.py)."""
 
 import numpy as np
 import jax
