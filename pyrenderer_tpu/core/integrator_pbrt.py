@@ -61,7 +61,12 @@ def _match_vma(x, ref):
         need = jax.typeof(ref).vma - jax.typeof(x).vma
     except AttributeError:
         return x
-    return jax.lax.pvary(x, tuple(need)) if need else x
+    if not need:
+        return x
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(x, tuple(need), to="varying")
+    return jax.lax.pvary(x, tuple(need))
 
 
 def trace_pbrt(

@@ -52,6 +52,15 @@ from pyrenderer_tpu.scene.types import Camera, Scene
 sg = jax.lax.stop_gradient
 
 
+def _to_varying(x, axes):
+    """Promote to varying over `axes` (jax.lax.pcast; pvary on older jax,
+    where it was the pre-deprecation spelling)."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        return pcast(x, tuple(axes), to="varying")
+    return jax.lax.pvary(x, tuple(axes))
+
+
 def make_geom_mesh(n_devices: int | None = None, gp: int | None = None,
                    dp: int | None = None) -> Mesh:
     """Build a ("dp", "gp") mesh: pixel tiles x triangle shards."""
@@ -189,7 +198,7 @@ def render_field_geometry_sharded(
     # combine is a psum), so each device RETURNS its own gp-slice of the
     # rows and the out spec reassembles them. Exact: pure data movement,
     # no math. check_vma on: the bounce-scan carries enter gp-varying
-    # (rays promoted below via pvary) and psum-combined body outputs
+    # (rays promoted below via _to_varying) and psum-combined body outputs
     # are re-promoted to match (integrator_pbrt._match_vma), so the
     # static varying-axes checker types the whole body; the parity
     # tests (tests/test_dist_geometry.py) also verify replication
@@ -275,7 +284,7 @@ def render_field_geometry_sharded(
             # (they flow through gp-sharded triangle tables before the exact
             # psum/all_gather combines), so promote the scan's init to match
             # — this is what lets check_vma=True typecheck the body
-            ro, rd = jax.lax.pvary((ro, rd), "gp")
+            ro, rd = _to_varying((ro, rd), ("gp",))
             if cfg.estimator == "reference":
                 return trace_reference(
                     scene_l, cfg, ro, rd, pixel_id, sample, cfg.seed, tables=tables

@@ -13,7 +13,7 @@ the scene tables are replicated):
     shard_map or on older jax).
   - `struct(shape, dtype, vma)`: ShapeDtypeStruct carrying that vma when
     the running jax supports it.
-  - `promote(x, vma)`: `jax.lax.pvary` a replicated operand up to the
+  - `promote(x, vma)`: cast a replicated operand up to the
     call's vma (pallas requires operand agreement; promoting a replicated
     scene table to "varying" is free — no communication, purely a type
     cast).
