@@ -9,6 +9,7 @@ terminated lanes masked instead of diverging.
 
 TPU-first details:
 - intersection backends: "pallas" (fused VMEM kernel, default on TPU),
+  "cluster_binned" (opt-in sort-binned traversal, kernels/pallas_binned.py),
   "matmul" (MXU bilinear-form formulation), "brute" (broadcast VPU,
   default on CPU / the correctness oracle), "watertight" (PBRT shear
   test, core/watertight.py — no shared-edge leaks), "cluster"/"bvh"
@@ -94,12 +95,16 @@ AUTO_SORT_MIN_CLUSTERS = 256
 
 
 def _cluster_impl_binned() -> bool:
-    """Opt-in alternative cluster traversal (PYRENDERER_CLUSTER_IMPL=binned):
-    the sort-binned pair kernel of kernels/pallas_binned.py. Chip-measured
-    at parity with the tile sweep on shuffled bounce wavefronts (without
-    needing any coherence sort) but ~1.7x slower on coherent ones, so the
-    sweep stays the default — kept wired for re-evaluation, like the
-    integrator-level wavefront sort (perf/RESULTS.md design experiments)."""
+    """Opt-in alternative cluster traversal (PYRENDERER_CLUSTER_IMPL=binned,
+    or backend="cluster_binned" explicitly): the sort-binned pair kernel of
+    kernels/pallas_binned.py. Chip-measured at parity with the tile sweep
+    on shuffled bounce wavefronts (without needing any coherence sort) but
+    ~1.7x slower on coherent ones, so the sweep stays the default — kept
+    wired for re-evaluation, like the integrator-level wavefront sort
+    (perf/RESULTS.md design experiments). The env var is honored by
+    resolve_backend, which render_image runs BEFORE entering jit so the
+    concrete backend lands in render_block's static cache key (an env read
+    at trace time alone would be silently ignored on cache hits)."""
     import os
 
     return os.environ.get("PYRENDERER_CLUSTER_IMPL", "") == "binned"
@@ -132,6 +137,8 @@ def resolve_backend(backend: str, n_tris: int, accel=None) -> str:
     whole-table path (correct, just O(T)) — with a loud warning, because at
     ~100k triangles the whole-table kernels' (9, T) SMEM operand will
     refuse to compile with no hint of the real cause."""
+    if backend == "cluster" and _cluster_impl_binned():
+        return "cluster_binned"
     if backend != "auto":
         return backend
     if n_tris <= AUTO_BRUTE_MAX_TRIS or accel is None:
@@ -149,7 +156,9 @@ def resolve_backend(backend: str, n_tris: int, accel=None) -> str:
         return default_backend()
     from pyrenderer_tpu.accel.clusters import ClusterScene
 
-    return "cluster" if isinstance(accel, ClusterScene) else "bvh"
+    if isinstance(accel, ClusterScene):
+        return "cluster_binned" if _cluster_impl_binned() else "cluster"
+    return "bvh"
 
 
 def light_area_pdf(scene: Scene):
@@ -283,7 +292,7 @@ class TraceTables(object):
             self.tri_table = pk.pack_triangles(sg(scene.vertices), scene.faces)
         elif backend == "matmul":
             self.tri_table = isect.build_tri_matrix(scene)
-        elif backend in ("bvh", "cluster"):
+        elif backend in ("bvh", "cluster", "cluster_binned"):
             if accel is None:
                 raise ValueError(
                     f"backend='{backend}' needs a prebuilt accelerator "
@@ -313,12 +322,12 @@ def _closest(scene, tables, cfg, ro, rd, t1, sort=None):
             tables.accel, tables.bvh_v0, tables.bvh_e1, tables.bvh_e2,
             ro, rd, cfg.t_min, t1,
         )
-    if b == "cluster":
-        if _cluster_impl_binned():
-            from pyrenderer_tpu.kernels import pallas_binned as pb
+    if b == "cluster_binned":
+        from pyrenderer_tpu.kernels import pallas_binned as pb
 
-            return pb.closest_hit(tables.accel, ro, rd, cfg.t_min, t1,
-                                  watertight=cfg.cluster_watertight)
+        return pb.closest_hit(tables.accel, ro, rd, cfg.t_min, t1,
+                              watertight=cfg.cluster_watertight)
+    if b == "cluster":
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
         return pc.closest_hit(
@@ -351,12 +360,12 @@ def _any_hit(scene, tables, cfg, ro, rd, t1, sort=None):
             ro, rd, cfg.t_min, t1, any_hit=True,
         )
         return hit
-    if b == "cluster":
-        if _cluster_impl_binned():
-            from pyrenderer_tpu.kernels import pallas_binned as pb
+    if b == "cluster_binned":
+        from pyrenderer_tpu.kernels import pallas_binned as pb
 
-            return pb.occluded(tables.accel, ro, rd, cfg.t_min, t1,
-                               watertight=cfg.cluster_watertight)
+        return pb.occluded(tables.accel, ro, rd, cfg.t_min, t1,
+                           watertight=cfg.cluster_watertight)
+    if b == "cluster":
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
         return pc.occluded(
@@ -689,7 +698,7 @@ def maybe_build_accel(scene: Scene, backend: str, accel=None):
     n_tris = scene.faces.shape[0]
     if backend == "auto" and n_tris > AUTO_BRUTE_MAX_TRIS:
         backend = accel_backend()
-    if backend == "cluster":
+    if backend in ("cluster", "cluster_binned"):
         from pyrenderer_tpu.accel.clusters import build_clusters
 
         return build_clusters(scene.vertices, scene.faces)
@@ -725,6 +734,10 @@ def render_image(
     from pyrenderer_tpu.core.camera import morton_pixel_order
 
     accel = maybe_build_accel(scene, backend, accel if accel is not None else bvh)
+    # resolve the backend OUTSIDE jit: the concrete string (including the
+    # PYRENDERER_CLUSTER_IMPL=binned upgrade) becomes part of render_block's
+    # static cache key — a trace-time env read would be ignored on cache hits
+    backend = resolve_backend(backend, scene.faces.shape[0], accel)
     w, h = camera.resolution
     ys, xs = np.mgrid[0:h, 0:w]
     # trace pixels in Morton order: each 128-ray wavefront tile is then a

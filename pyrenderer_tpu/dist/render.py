@@ -71,6 +71,10 @@ def render_field_sharded(
     from pyrenderer_tpu.core.integrator import resolve_backend
 
     backend = resolve_backend("auto", scene.faces.shape[0], accel)
+    if backend == "cluster_binned":
+        # the binned opt-in stays single-chip: inside the mesh the sweep is
+        # the measured-better and chip-validated path
+        backend = "cluster"
 
     def body(scene, camera, px, py, accel):
         sp_idx = jax.lax.axis_index("sp")

@@ -77,12 +77,14 @@ from pyrenderer_tpu.kernels.pallas_cluster import (
     _leaf_mt_chunk,
     _leaf_wt_chunk,
     _pack_rays,
+    _ray_planes,
 )
 
 # candidate bin slots per ray: covers ~p95 of bounce/shadow wavefronts at
 # the 512-triangle bin size (simulated on the terrain scenes); the tail
-# routes through the sweep. Must be even (block-count divisibility). Env
-# knob so tests and the perf harness can force the overflow path.
+# routes through the sweep. Any value works (the pair stream pads to a
+# block multiple). Env knob so tests and the perf harness can force the
+# overflow path.
 W_SLOTS = int(os.environ.get("PYRENDERER_BINNED_W", "6"))
 SUB = 8            # ray tiles per prepass grid step (DMA amortization)
 BPS = 16           # pair blocks per leaf grid step
@@ -110,11 +112,7 @@ def _prepass_kernel(n_words, w_slots, t0, sub, rays_ref, box_ref, out_ref,
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
     def sub_tile(st, _):
-        r = rays_ref[pl.ds(st * 8, 8), :]
-        o = (r[0:1, :], r[1:2, :], r[2:3, :])
-        inv = tuple(1.0 / jnp.where(c == 0, 1e-20, c)
-                    for c in (r[3:4, :], r[4:5, :], r[5:6, :]))
-        t1 = r[6:7, :]
+        o, _d, inv, t1 = _ray_planes(rays_ref, st)
 
         def word(w, _):
             acc = jnp.zeros((1, RAY_TILE), jnp.int32)

@@ -193,10 +193,24 @@ def test_binned_optin_render_matches_default(terrain_scene, monkeypatch):
     img_default = np.asarray(
         render_image(scene, cam, cfg, backend="cluster", accel=accel)
     )
+    # prove the routing actually executes the binned kernel: count calls
+    # at trace time (the env upgrade lands in render_block's static cache
+    # key via render_image's pre-jit resolve_backend — without that, the
+    # second render would be a cache hit that never retraces; this test
+    # was vacuous before that fix)
+    calls = {"n": 0}
+    real = pb.closest_hit
+
+    def counted(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pb, "closest_hit", counted)
     monkeypatch.setenv("PYRENDERER_CLUSTER_IMPL", "binned")
     img_binned = np.asarray(
         render_image(scene, cam, cfg, backend="cluster", accel=accel)
     )
+    assert calls["n"] > 0, "binned backend was never invoked"
     assert np.isfinite(img_binned).all()
     close = np.isclose(img_binned, img_default, rtol=1e-4, atol=1e-6).mean()
     assert close > 0.99
