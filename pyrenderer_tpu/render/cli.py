@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hdr-out", help="output EXR/NPY path")
     p.add_argument(
         "--backend",
-        choices=["auto", "pallas", "matmul", "brute", "bvh", "cluster", "watertight"],
+        choices=["auto", "pallas", "matmul", "brute", "bvh", "cluster",
+                 "cluster_binned", "watertight"],
         default="auto",
         help="intersection backend (auto selects by platform and triangle count)",
     )

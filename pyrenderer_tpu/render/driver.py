@@ -24,7 +24,12 @@ import numpy as np
 from pyrenderer_tpu.config import RenderConfig
 from pyrenderer_tpu.core.film import Film
 from pyrenderer_tpu.core.camera import morton_pixel_order
-from pyrenderer_tpu.core.integrator import TraceTables, maybe_build_accel, render_sample
+from pyrenderer_tpu.core.integrator import (
+    TraceTables,
+    maybe_build_accel,
+    render_sample,
+    resolve_backend,
+)
 from pyrenderer_tpu.core.tonemap import tonemap
 from pyrenderer_tpu.scene.types import Camera, Scene
 from pyrenderer_tpu.utils.image_io import write_hdr, write_png
@@ -83,10 +88,15 @@ class ProgressiveRenderer:
         self.scene = jax.tree.map(jnp.asarray, scene)
         self.camera = camera
         self.cfg = cfg
-        self.backend = backend
         # auto-build the accelerator for large scenes / explicit bvh or
-        # cluster backend (host-side; scene arrays are concrete here)
+        # cluster backend (host-side; scene arrays are concrete here),
+        # then resolve the backend OUTSIDE jit so the concrete choice
+        # (incl. the PYRENDERER_CLUSTER_IMPL=binned upgrade) is part of
+        # the jitted passes' static cache key
         self.accel = maybe_build_accel(scene, backend, accel)
+        self.backend = resolve_backend(
+            backend, scene.faces.shape[0], self.accel
+        )
         self.chunk = chunk
         self.report_interval = report_interval
         self.on_pass = on_pass
