@@ -214,3 +214,33 @@ def test_binned_optin_render_matches_default(terrain_scene, monkeypatch):
     assert np.isfinite(img_binned).all()
     close = np.isclose(img_binned, img_default, rtol=1e-4, atol=1e-6).mean()
     assert close > 0.99
+
+
+def test_binned_explicit_backend_value(terrain_scene):
+    """backend="cluster_binned" works as a first-class value (no env var):
+    maybe_build_accel builds the ClusterScene and the render routes
+    through the binned kernel."""
+    from pyrenderer_tpu.core.integrator import (
+        maybe_build_accel,
+        render_image,
+        resolve_backend,
+    )
+
+    scene, cam, cfg = terrain_scene
+    cam = cam._replace(resolution=(16, 16))
+    cfg = cfg.replace(spp=1, max_bounces=2)
+    accel = maybe_build_accel(
+        jax.tree.map(np.asarray, scene), "cluster_binned"
+    )
+    assert isinstance(accel, cl.ClusterScene)
+    assert resolve_backend("cluster_binned", scene.faces.shape[0], accel) \
+        == "cluster_binned"
+    img = np.asarray(
+        render_image(scene, cam, cfg, backend="cluster_binned", accel=accel)
+    )
+    img_default = np.asarray(
+        render_image(scene, cam, cfg, backend="cluster", accel=accel)
+    )
+    assert np.isfinite(img).all()
+    close = np.isclose(img, img_default, rtol=1e-4, atol=1e-6).mean()
+    assert close > 0.99
