@@ -106,28 +106,16 @@ MISS_T_MASKED = float(
     ).view(__import__("numpy").float32)
 )
 
-_INT_MIN = -2147483648  # python int: a module-level jnp scalar would be
-                        # captured as a pallas kernel constant
-
 
 def _ctz_low(low):
     """Index of the single set bit of ``low`` (= word & -word, nonzero).
 
-    Mosaic-portable count-trailing-zeros: branchless binary search with
-    scalar integer ALU ops only — Mosaic has no scalar clz/popcount and
-    rejects scalar bitcasts (tpu.bitcast is vector-only), so the usual
-    float-exponent trick is unavailable. Bit 31 (low == INT_MIN, the one
-    negative power of two, for which arithmetic >> would sign-extend) is
-    special-cased up front.
+    31 - clz: Mosaic compiles scalar jax.lax.clz fine (verified on chip —
+    perf/kernelbench.py's ctz bench has always used it; the round-3 claim
+    that no scalar clz existed was stale). Bit 31 (low == INT_MIN) needs
+    no special case: clz(0x80000000) == 0 -> index 31.
     """
-    is_min = low == _INT_MIN
-    low = jnp.where(is_min, jnp.int32(1), low)
-    c = jnp.int32(0)
-    for shift in (16, 8, 4, 2, 1):
-        z = (low & ((1 << shift) - 1)) == 0
-        c = c + jnp.where(z, shift, 0)
-        low = jnp.where(z, low >> shift, low)
-    return jnp.where(is_min, jnp.int32(31), c)
+    return jnp.int32(31) - jax.lax.clz(low)
 
 
 def _ray_planes(rays_ref, st):
