@@ -21,6 +21,11 @@ Env knobs:
   BENCH_ROUNDS     cluster suspend/resume passes (default 1 = off)
   BENCH_BUDGET     pass-1 supercluster visit budget per tile (default 8)
 
+The JSON line also carries "calib_ns_per_leaf": a fixed microkernel
+timing measured in the same session (see calibrate()) that lets
+cross-round BENCH values be normalized against the chip facility's ~2x
+day-to-day load swings.
+
 perf/RESULTS.md records measured values for each on the real chip.
 """
 
@@ -61,6 +66,77 @@ def load_bench_scene(name):
 
         scene, camera, _ = build_scene(big_scene_data(**procgen_kw))
     return scene, camera, res, spp, metric
+
+
+def calibrate():
+    """Session-calibration microkernel: ns per full-width (128 x 128) MT
+    leaf evaluation, the same L=64 protocol as perf/kernelbench.py
+    bench_leaf (its reference reading: ~820 ns on an unloaded facility
+    day).
+
+    The remote chip facility's throughput varies ~2x day-to-day AND
+    within an hour (perf/RESULTS.md "Measurement integrity"), so absolute
+    BENCH_r0N.json values across rounds are facility noise. This row is
+    measured in the SAME session as the headline number; to compare
+    rounds, normalize: value_normalized = value * (calib_ns / 820.0).
+    Slope-timed (inner 2 vs 8 in-dispatch repeats) to cancel the
+    ~10-50 ms per-dispatch tunnel latency. Returns None off-TPU.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() != "tpu":
+        return None
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "perf")
+    )
+    from kernelbench import N_TILES, RAY_TILE, _leaf_kernel
+
+    rng = np.random.default_rng(0)
+    rcol = jnp.asarray(rng.standard_normal((N_TILES * RAY_TILE, 8)), jnp.float32)
+    tri = jnp.asarray(rng.standard_normal((8 * 16, 128)), jnp.float32)
+    n_leaves = 64
+
+    def call(rc):
+        return pl.pallas_call(
+            partial(_leaf_kernel, n_leaves),
+            grid=(N_TILES,),
+            in_specs=[
+                pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N_TILES * RAY_TILE, 1), jnp.float32),
+        )(rc, tri)
+
+    def runner(inner):
+        @jax.jit
+        def run(rc):
+            def body(c, _):
+                out = call(rc + c)
+                return jnp.sum(out[:1, :1]) * 0.0, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
+            return c
+
+        return run
+
+    ts = {}
+    for inner in (2, 8):
+        f = runner(inner)
+        float(f(rcol))  # compile + sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(f(rcol))
+            best = min(best, time.time() - t0)
+        ts[inner] = best
+    per_leaf = (ts[8] - ts[2]) / 6.0 / (N_TILES * n_leaves)
+    return per_leaf * 1e9
 
 
 def main():
@@ -181,19 +257,27 @@ def main():
         f"{dt:.2f}s, {total_rays/1e6:.1f} Mrays, mean radiance {mean_val:.5f}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": metric
-                + ("_" + estimator if estimator != "reference" else "")
-                + ("_watertight" if watertight else "")
-                + ("_nosort" if not sort else ""),
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 100.0, 3),
-            }
+    calib = calibrate()  # same-session facility-load normalizer
+    if calib is not None:
+        print(
+            f"calib {calib:.0f} ns/leaf (ref 820; normalized "
+            f"{mrays * calib / 820.0:.1f} Mrays/s)",
+            file=sys.stderr,
         )
-    )
+    row = {
+        "metric": metric
+        + ("_" + estimator if estimator != "reference" else "")
+        + ("_watertight" if watertight else "")
+        + ("_nosort" if not sort else ""),
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 3),
+    }
+    if calib is not None:
+        # facility-day calibration: cross-round comparisons should use
+        # value * (calib_ns_per_leaf / 820.0) — see calibrate()
+        row["calib_ns_per_leaf"] = round(calib, 1)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

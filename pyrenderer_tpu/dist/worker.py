@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     p.add_argument("--sp", type=int, default=1, help="spp mesh-axis size")
     p.add_argument("--reps", type=int, default=1, help="timed repetitions")
     p.add_argument("--out", default=None, help="process 0 writes HDR .npy here")
+    p.add_argument("--train-steps", type=int, default=0,
+                   help="also run N inverse-rendering train steps over the "
+                        "global mesh (gradient allreduce crosses processes); "
+                        "RESULT gains train_losses + grad stats")
     args = p.parse_args(argv)
 
     if args.cpu_devices:
@@ -91,23 +95,72 @@ def main(argv=None) -> int:
         )
     ) * cfg.spp
 
+    result = {
+        "process_id": pid,
+        "num_processes": jax.process_count(),
+        "global_devices": len(jax.devices()),
+        "multi": multi,
+        "time_s": dt,
+        "mrays_per_s": n_rays / dt / 1e6,
+        "image_mean": float(img.mean()),
+    }
+
+    if args.train_steps > 0:
+        # Inverse-rendering train steps over the SAME global mesh: the
+        # scene-parameter gradients all-reduce through the shard_map's
+        # psum transpose, which crosses the process boundary (DCN/gloo)
+        # whenever the dp axis spans processes — the BASELINE config-5
+        # path. Losses and per-family gradient statistics go into RESULT
+        # so the harness can assert 2-process == 1-process
+        # (tests/test_multihost.py::test_two_process_train_step).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pyrenderer_tpu.dist.render import train_step
+
+        jscene = jax.tree.map(jnp.asarray, scene)
+        params = (jscene.vertices, jscene.albedo, jscene.emission)
+        n_px = args.res * args.res
+        sharding = NamedSharding(mesh, P("dp"))
+        target = jax.make_array_from_callback(
+            (n_px, 3), sharding, lambda idx: np.zeros((n_px, 3), np.float32)[idx]
+        )
+        lr = jnp.float32(1e-3)
+        losses = []
+        for _ in range(args.train_steps):
+            loss, params = train_step(
+                params, jscene, camera, cfg, mesh, target, px, py, lr
+            )
+            losses.append(float(loss))
+
+        # true gradients at the final params (recovering them from the f32
+        # SGD delta would truncate small-grad/large-value families like
+        # emission to zero). Global (dp-sharded) arrays are passed as jit
+        # ARGUMENTS, and all statistics reduce to replicated scalars
+        # inside the jit — fetching a scalar is process-local everywhere.
+        from pyrenderer_tpu.dist.render import render_field_sharded
+
+        @jax.jit
+        def _grad_stats(ps, target, px, py):
+            def _loss(ps):
+                s = jscene._replace(vertices=ps[0], albedo=ps[1],
+                                    emission=ps[2])
+                img = render_field_sharded(s, camera, cfg, mesh, px, py)
+                return jnp.mean((img - target) ** 2)
+
+            grads = jax.grad(_loss)(ps)
+            return (
+                tuple(jnp.abs(g).mean() for g in grads),
+                tuple(jnp.abs(p).mean() for p in ps),
+            )
+
+        gstats, pstats = _grad_stats(params, target, px, py)
+        result["train_losses"] = losses
+        result["grad_mean_abs"] = [float(g) for g in gstats]
+        result["param_mean_abs"] = [float(p) for p in pstats]
+
     if pid == 0 and args.out:
         np.save(args.out, img)
-    print(
-        "RESULT "
-        + json.dumps(
-            {
-                "process_id": pid,
-                "num_processes": jax.process_count(),
-                "global_devices": len(jax.devices()),
-                "multi": multi,
-                "time_s": dt,
-                "mrays_per_s": n_rays / dt / 1e6,
-                "image_mean": float(img.mean()),
-            }
-        ),
-        flush=True,
-    )
+    print("RESULT " + json.dumps(result), flush=True)
     return 0
 
 

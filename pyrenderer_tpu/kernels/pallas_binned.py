@@ -47,9 +47,10 @@ mathematics/intersection_taichi.py:256-287) for incoherent bounces; the
 binning is the TPU answer to GPU wavefront tracers' per-node ray queues,
 expressed as one sort plus two dense kernels instead of divergent queues.
 
-Returned t carries <= 2^-14 relative rounding (the packed key spends 9
-mantissa bits on the triangle-in-bin index); consumers needing exact t
-re-derive it from the returned face id, as the integrator does.
+In-kernel t carries <= 2^-14 relative rounding (the packed key spends 9
+mantissa bits on the triangle-in-bin index); the exact t is re-derived
+at the public boundary from the winning slot (exact_t_for_slot), so
+closest_hit returns exact f32 t like the oracle.
 """
 
 from __future__ import annotations
@@ -86,6 +87,14 @@ from pyrenderer_tpu.kernels.pallas_cluster import (
 # block multiple). Env knob so tests and the perf harness can force the
 # overflow path.
 W_SLOTS = int(os.environ.get("PYRENDERER_BINNED_W", "6"))
+
+
+def _w_slots() -> int:
+    """Per-call read of the W knob (ADVICE r4: the import-time-only read
+    silently ignored env changes mid-process). The env var wins when set;
+    otherwise the module value (which tests monkeypatch)."""
+    env = os.environ.get("PYRENDERER_BINNED_W")
+    return int(env) if env is not None else W_SLOTS
 SUB = 8            # ray tiles per prepass grid step (DMA amortization)
 BPS = 16           # pair blocks per leaf grid step
 SENTINEL = 0x7FFFFFFF   # empty candidate slot: sorts after every real id
@@ -323,12 +332,13 @@ def _pad_rays(ro, rd, t1):
 def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
                 interpret=False):
     """Binned closest hit: same contract as pallas_cluster.closest_hit
-    (hit, t, face) except t carries <= 2^-14 packed rounding (see module
-    docstring). Needs no coherence sort — performance is wavefront-order
-    independent. Overflow rays (> W_SLOTS crossing bins) re-trace exactly
-    through the tile sweep under a lax.cond that costs nothing when no
-    ray overflows. Off-TPU (and not interpreting) routes to the pure-JAX
-    oracle like the sweep does."""
+    (hit, t, face), including exact f32 t (the in-kernel <= 2^-14 packed
+    rounding is undone at the boundary via exact_t_for_slot). Needs no
+    coherence sort — performance is wavefront-order independent. Overflow
+    rays (> W_SLOTS crossing bins) re-trace exactly through the tile
+    sweep under a lax.cond that costs nothing when no ray overflows.
+    Off-TPU (and not interpreting) routes to the pure-JAX oracle like the
+    sweep does."""
     ro, rd, t1 = jax.lax.stop_gradient((ro, rd, t1))
     if not interpret and jax.default_backend() != "tpu":
         from pyrenderer_tpu.accel.clusters import closest_hit_ref
@@ -336,10 +346,10 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
         hit, t, slot = closest_hit_ref(cs, ro, rd, t0, t1,
                                        watertight=watertight)
         return hit, t, slot_to_face(cs, slot).astype(jnp.int32)
-    _check_vmem(cs)
+    _check_vmem(cs, "binned")
     ro_p, rd_p, t1v, n = _pad_rays(ro, rd, t1)
     kmin, binwin, ovf = _binned_core(cs, ro_p, rd_p, t1v, float(t0),
-                                     watertight, interpret, W_SLOTS)
+                                     watertight, interpret, _w_slots())
     kmin, binwin, ovf = kmin[:n], binwin[:n], ovf[:n]
     hit = kmin < MISS_KEY
     t = jax.lax.bitcast_convert_type(
@@ -348,6 +358,9 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
     slot = jnp.where(
         hit, binwin * BIN_TRIS + jnp.bitwise_and(kmin, _LOW), -1
     )
+    from pyrenderer_tpu.accel.clusters import exact_t_for_slot
+
+    t = exact_t_for_slot(cs, slot, ro, rd, t)   # undo the packed rounding
 
     def with_residual(_):
         from pyrenderer_tpu.kernels import pallas_cluster as pc
@@ -382,10 +395,10 @@ def occluded(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
         from pyrenderer_tpu.accel.clusters import occluded_ref
 
         return occluded_ref(cs, ro, rd, t0, t1, watertight=watertight)
-    _check_vmem(cs)
+    _check_vmem(cs, "binned")
     ro_p, rd_p, t1v, n = _pad_rays(ro, rd, t1)
     kmin, _, ovf = _binned_core(cs, ro_p, rd_p, t1v, float(t0),
-                                watertight, interpret, W_SLOTS)
+                                watertight, interpret, _w_slots())
     kmin, ovf = kmin[:n], ovf[:n]
     occ = kmin < MISS_KEY
 

@@ -719,17 +719,37 @@ _VMEM_LIMIT_MB = float(
 )
 
 
-def _check_vmem(cs: ClusterScene) -> None:
-    mb = (cs.tri.size + cs.child_box.size + cs.super_cols.size) * 4 / 2**20
+def _vmem_mb(cs: ClusterScene, kind: str = "sweep") -> float:
+    """VMEM the traversal keeps resident, MiB. The binned path holds the
+    tri table + bin boxes (ADVICE r4: its budget differs from the
+    sweep's child/super boxes, though tri dominates both)."""
+    if kind == "binned":
+        resident = cs.tri.size + cs.bin_box.size
+    else:
+        resident = cs.tri.size + cs.child_box.size + cs.super_cols.size
+    return resident * 4 / 2**20
+
+
+def scene_fits_vmem(cs: ClusterScene, kind: str = "sweep") -> bool:
+    """True when the whole clustered scene fits the measured VMEM budget —
+    the routing predicate for resident vs HBM-streamed traversal."""
+    return _vmem_mb(cs, kind) <= _VMEM_LIMIT_MB
+
+
+def _check_vmem(cs: ClusterScene, kind: str = "sweep") -> None:
+    mb = _vmem_mb(cs, kind)
     if mb > _VMEM_LIMIT_MB:
         raise ValueError(
             f"cluster tables need {mb:.1f} MiB of VMEM "
-            f"(~{cs.n_clusters * LANE_TRIS} triangle slots) but the sweep "
-            f"keeps the whole scene on-chip and ~{_VMEM_LIMIT_MB:.0f} MiB "
-            "is the measured ceiling on v5e. For larger scenes shard the "
-            "geometry over devices (dist/geometry.py build_shard_clusters"
-            " — each shard gets its own sweep) or use the CPU bvh backend."
-            " Override with PYRENDERER_VMEM_LIMIT_MB on bigger parts."
+            f"(~{cs.n_clusters * LANE_TRIS} triangle slots) but the "
+            f"{'binned traversal' if kind == 'binned' else 'sweep'} keeps "
+            f"the whole scene on-chip and ~{_VMEM_LIMIT_MB:.0f} MiB is the "
+            "measured ceiling on v5e. Oversize scenes normally auto-route "
+            "to the HBM-streamed binned traversal (kernels/pallas_binned "
+            "streamed=True); alternatively shard the geometry over devices "
+            "(dist/geometry.py build_shard_clusters) or use the CPU bvh "
+            "backend. Override with PYRENDERER_VMEM_LIMIT_MB on bigger "
+            "parts."
         )
 
 
@@ -770,11 +790,11 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
     """Wavefront closest hit. ro, rd (N, 3); t1 scalar or (N,).
 
     Returns (hit (N,) bool, t (N,) f32, face (N,) i32 original ids) — the
-    same contract as the other backends, except t carries <= 2^-17
-    relative rounding (the kernel packs t and the winning lane into one
-    int32 so each leaf costs a single cross-lane reduction; consumers that
-    need exact t re-derive it from the returned face, as the integrator
-    does).
+    same contract as the other backends. Internally the kernel packs t
+    and the winning lane into one int32 (one cross-lane reduction per
+    leaf, <= 2^-17 relative truncation); the exact t is re-derived at the
+    boundary with one Moeller-Trumbore evaluation of the winning triangle
+    (accel/clusters.exact_t_for_slot), so callers see exact f32 t.
 
     sort=True applies the coherence sort (accel/clusters.sort_keys:
     origin-Morton major | 9-bit quantized direction, dead t1=0 lanes
@@ -843,6 +863,9 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
         t, slot = t[inv], slot[inv]
     hit = slot >= 0
     face = slot_to_face(cs, slot)
+    from pyrenderer_tpu.accel.clusters import exact_t_for_slot
+
+    t = exact_t_for_slot(cs, slot, ro, rd, t)   # undo the packed rounding
     return hit, jnp.where(hit, t, 0.0), face.astype(jnp.int32)
 
 
