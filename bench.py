@@ -45,6 +45,12 @@ SCENES = {
                   "terrain8k_4bounce_mrays_per_sec_per_chip"),
     "terrain100k": (dict(kind="terrain", res=224), 512, 4,
                     "terrain100k_4bounce_mrays_per_sec_per_chip"),
+    # past the ~220k-tri VMEM ceiling: auto-routes to the HBM-streamed
+    # binned traversal (backend "cluster_streamed") on TPU
+    "terrain330k": (dict(kind="terrain", res=406), 512, 2,
+                    "terrain330k_4bounce_mrays_per_sec_per_chip"),
+    "terrain500k": (dict(kind="terrain", res=501), 512, 2,
+                    "terrain500k_4bounce_mrays_per_sec_per_chip"),
     "blob82k": (dict(kind="blob", subdivisions=6), 512, 4,
                 "blob82k_4bounce_mrays_per_sec_per_chip"),
 }

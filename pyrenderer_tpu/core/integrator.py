@@ -10,6 +10,8 @@ terminated lanes masked instead of diverging.
 TPU-first details:
 - intersection backends: "pallas" (fused VMEM kernel, default on TPU),
   "cluster_binned" (opt-in sort-binned traversal, kernels/pallas_binned.py),
+  "cluster_streamed" (HBM-streamed binned leaves — auto-selected for
+  scenes past the ~14.5 MiB VMEM budget that caps the resident kernels),
   "matmul" (MXU bilinear-form formulation), "brute" (broadcast VPU,
   default on CPU / the correctness oracle), "watertight" (PBRT shear
   test, core/watertight.py — no shared-edge leaks), "cluster"/"bvh"
@@ -157,7 +159,19 @@ def resolve_backend(backend: str, n_tris: int, accel=None) -> str:
     from pyrenderer_tpu.accel.clusters import ClusterScene
 
     if isinstance(accel, ClusterScene):
-        return "cluster_binned" if _cluster_impl_binned() else "cluster"
+        b = "cluster_binned" if _cluster_impl_binned() else "cluster"
+        if jax.default_backend() == "tpu":
+            from pyrenderer_tpu.kernels.pallas_cluster import scene_fits_vmem
+
+            kind = "binned" if b == "cluster_binned" else "sweep"
+            if not scene_fits_vmem(accel, kind):
+                # past the ~14.5 MiB VMEM budget (~220k triangles) the
+                # resident kernels cannot compile — route to the
+                # HBM-streamed binned traversal, which has no scene
+                # ceiling (the reference's device-global-memory scenes
+                # never had one either)
+                return "cluster_streamed"
+        return b
     return "bvh"
 
 
@@ -292,7 +306,8 @@ class TraceTables(object):
             self.tri_table = pk.pack_triangles(sg(scene.vertices), scene.faces)
         elif backend == "matmul":
             self.tri_table = isect.build_tri_matrix(scene)
-        elif backend in ("bvh", "cluster", "cluster_binned"):
+        elif backend in ("bvh", "cluster", "cluster_binned",
+                         "cluster_streamed"):
             if accel is None:
                 raise ValueError(
                     f"backend='{backend}' needs a prebuilt accelerator "
@@ -322,11 +337,12 @@ def _closest(scene, tables, cfg, ro, rd, t1, sort=None):
             tables.accel, tables.bvh_v0, tables.bvh_e1, tables.bvh_e2,
             ro, rd, cfg.t_min, t1,
         )
-    if b == "cluster_binned":
+    if b in ("cluster_binned", "cluster_streamed"):
         from pyrenderer_tpu.kernels import pallas_binned as pb
 
         return pb.closest_hit(tables.accel, ro, rd, cfg.t_min, t1,
-                              watertight=cfg.cluster_watertight)
+                              watertight=cfg.cluster_watertight,
+                              streamed=(b == "cluster_streamed"))
     if b == "cluster":
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
@@ -360,11 +376,12 @@ def _any_hit(scene, tables, cfg, ro, rd, t1, sort=None):
             ro, rd, cfg.t_min, t1, any_hit=True,
         )
         return hit
-    if b == "cluster_binned":
+    if b in ("cluster_binned", "cluster_streamed"):
         from pyrenderer_tpu.kernels import pallas_binned as pb
 
         return pb.occluded(tables.accel, ro, rd, cfg.t_min, t1,
-                           watertight=cfg.cluster_watertight)
+                           watertight=cfg.cluster_watertight,
+                           streamed=(b == "cluster_streamed"))
     if b == "cluster":
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
@@ -698,7 +715,7 @@ def maybe_build_accel(scene: Scene, backend: str, accel=None):
     n_tris = scene.faces.shape[0]
     if backend == "auto" and n_tris > AUTO_BRUTE_MAX_TRIS:
         backend = accel_backend()
-    if backend in ("cluster", "cluster_binned"):
+    if backend in ("cluster", "cluster_binned", "cluster_streamed"):
         from pyrenderer_tpu.accel.clusters import build_clusters
 
         return build_clusters(scene.vertices, scene.faces)

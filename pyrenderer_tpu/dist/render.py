@@ -73,7 +73,9 @@ def render_field_sharded(
     backend = resolve_backend("auto", scene.faces.shape[0], accel)
     if backend == "cluster_binned":
         # the binned opt-in stays single-chip: inside the mesh the sweep is
-        # the measured-better and chip-validated path
+        # the measured-better and chip-validated path ("cluster_streamed"
+        # is NOT remapped — it exists precisely because the resident sweep
+        # cannot compile for the scene)
         backend = "cluster"
 
     def body(scene, camera, px, py, accel):

@@ -110,13 +110,56 @@ MISS_KEY = int(
 )
 
 
-def _prepass_kernel(n_words, w_slots, t0, sub, rays_ref, box_ref, out_ref,
-                    words_ref):
+def _peel_slots(ws, rowi, n_words, w_slots, emit):
+    """Peel the first `w_slots` set bits per ray (lane) from the
+    (n_words, 128) crossing-word grid, ascending bin order. emit(slot,
+    cid) receives each (1, 128) id row (SENTINEL where a ray has no more
+    bits). Returns (remaining words, (1, 128) leftover word count) —
+    leftover > 0 is the per-ray overflow flag AND the input to the next
+    peel round of the streamed residual (kernels can resume peeling from
+    the returned words with zero recomputation of the slab tests)."""
+    for slot in range(w_slots):
+        first = jnp.min(
+            jnp.where(ws != 0, rowi, jnp.int32(n_words)),
+            axis=0, keepdims=True,
+        )                                            # (1, 128)
+        cand = jnp.sum(
+            jnp.where(rowi == first, ws, 0), axis=0, keepdims=True
+        )
+        low = jnp.bitwise_and(cand, -cand)
+        # index of the single set bit: exponent of the f32 cast
+        # (int32 min would overflow the cast — special-case bit 31)
+        is_min = low == jnp.int32(-2147483648)
+        f = jnp.where(is_min, jnp.int32(0), low).astype(jnp.float32)
+        bidx = jax.lax.shift_right_logical(
+            jax.lax.bitcast_convert_type(f, jnp.int32), 23
+        ) - 127
+        bidx = jnp.where(is_min, jnp.int32(31), bidx)
+        has = cand != 0
+        cid = jnp.where(has, first * 32 + bidx, jnp.int32(SENTINEL))
+        emit(slot, cid)
+        cleared = jnp.bitwise_and(cand, cand - 1)
+        ws = jnp.where(rowi == first, cleared, ws)
+    leftover = jnp.sum(
+        jnp.where(ws != 0, 1, 0).astype(jnp.int32), axis=0, keepdims=True
+    )
+    return ws, leftover
+
+
+def _prepass_kernel(n_words, w_slots, t0, sub, emit_words, rays_ref, box_ref,
+                    *outs):
     """Per 128-ray tile: slab-test all KB bin boxes (8 per step, rays in
     lanes), pack per-ray crossing bits into (n_words, 128) VMEM scratch,
     then peel the first `w_slots` set bits per ray into candidate ids.
 
-    out rows per sub-tile: w_slots id rows then one overflow row."""
+    out rows per sub-tile: w_slots id rows then one overflow row. With
+    emit_words (the streamed path), the post-peel words are ALSO written
+    out so the residual rounds can continue peeling without re-running
+    the slab tests."""
+    if emit_words:
+        out_ref, words_out, words_ref = outs
+    else:
+        out_ref, words_ref = outs
     rowi = jax.lax.broadcasted_iota(jnp.int32, (n_words, RAY_TILE), 0)
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
@@ -138,33 +181,35 @@ def _prepass_kernel(n_words, w_slots, t0, sub, rays_ref, box_ref, out_ref,
 
         jax.lax.fori_loop(0, n_words, word, 0)
 
-        ws = words_ref[...]                              # (n_words, 128)
-        for slot in range(w_slots):
-            first = jnp.min(
-                jnp.where(ws != 0, rowi, jnp.int32(n_words)),
-                axis=0, keepdims=True,
-            )                                            # (1, 128)
-            cand = jnp.sum(
-                jnp.where(rowi == first, ws, 0), axis=0, keepdims=True
-            )
-            low = jnp.bitwise_and(cand, -cand)
-            # index of the single set bit: exponent of the f32 cast
-            # (int32 min would overflow the cast — special-case bit 31)
-            is_min = low == jnp.int32(-2147483648)
-            f = jnp.where(is_min, jnp.int32(0), low).astype(jnp.float32)
-            bidx = jax.lax.shift_right_logical(
-                jax.lax.bitcast_convert_type(f, jnp.int32), 23
-            ) - 127
-            bidx = jnp.where(is_min, jnp.int32(31), bidx)
-            has = cand != 0
-            cid = jnp.where(has, first * 32 + bidx, jnp.int32(SENTINEL))
+        def emit(slot, cid):
             out_ref[pl.ds(st * (w_slots + 1) + slot, 1), :] = cid
-            cleared = jnp.bitwise_and(cand, cand - 1)
-            ws = jnp.where(rowi == first, cleared, ws)
-        leftover = jnp.sum(
-            jnp.where(ws != 0, 1, 0).astype(jnp.int32), axis=0, keepdims=True
+
+        ws, leftover = _peel_slots(
+            words_ref[...], rowi, n_words, w_slots, emit
         )
         out_ref[pl.ds(st * (w_slots + 1) + w_slots, 1), :] = leftover
+        if emit_words:
+            words_out[pl.ds(st * n_words, n_words), :] = ws
+        return 0
+
+    jax.lax.fori_loop(0, sub, sub_tile, 0)
+
+
+def _peel_kernel(n_words, w_slots, sub, words_in, out_ref, words_out):
+    """Residual-round candidate extraction: resume peeling w_slots MORE
+    candidate bins per ray from the carried crossing words (no slab
+    recomputation). Same output layout as the prepass."""
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n_words, RAY_TILE), 0)
+
+    def sub_tile(st, _):
+        ws = words_in[pl.ds(st * n_words, n_words), :]
+
+        def emit(slot, cid):
+            out_ref[pl.ds(st * (w_slots + 1) + slot, 1), :] = cid
+
+        ws, leftover = _peel_slots(ws, rowi, n_words, w_slots, emit)
+        out_ref[pl.ds(st * (w_slots + 1) + w_slots, 1), :] = leftover
+        words_out[pl.ds(st * n_words, n_words), :] = ws
         return 0
 
     jax.lax.fori_loop(0, sub, sub_tile, 0)
@@ -234,30 +279,84 @@ def _leaf_kernel(bps, t0, watertight, ids_ref, rcol_ref, tri_ref, out_ref):
         jax.lax.fori_loop(0, bps, block, 0)
 
 
-def _prepass_call(cs: ClusterScene, rays_lane, t0, w_slots, interpret):
-    """-> (ids (n_pad, W) int32 ascending-per-ray, overflow (n_pad,) bool)."""
+def _ids_unpack(out, tiles, rows, w_slots):
+    n_pad = tiles * RAY_TILE
+    out = out.reshape(tiles, rows, RAY_TILE).transpose(0, 2, 1)
+    out = out.reshape(n_pad, rows)
+    return out[:, :w_slots], out[:, w_slots] > 0
+
+
+def _prepass_call(cs: ClusterScene, rays_lane, t0, w_slots, interpret,
+                  emit_words=False):
+    """-> (ids (n_pad, W) int32 ascending-per-ray, overflow (n_pad,) bool
+    [, words (tiles * n_words, 128) int32 — remaining crossing bits, for
+    the streamed residual rounds])."""
     kb32 = cs.bin_box.shape[0]
+    n_words = kb32 // 32
     n_pad = rays_lane.shape[0] // 8 * RAY_TILE
     tiles = n_pad // RAY_TILE
     rows = w_slots + 1
     v = vma.args_vma(rays_lane)
-    out = pl.pallas_call(
-        partial(_prepass_kernel, kb32 // 32, w_slots, t0, SUB),
+    out_specs = [pl.BlockSpec((rows * SUB, RAY_TILE), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [vma.struct((rows * tiles, RAY_TILE), jnp.int32, v)]
+    if emit_words:
+        out_specs.append(
+            pl.BlockSpec((n_words * SUB, RAY_TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            vma.struct((n_words * tiles, RAY_TILE), jnp.int32, v)
+        )
+    res = pl.pallas_call(
+        partial(_prepass_kernel, n_words, w_slots, t0, SUB, emit_words),
         grid=(tiles // SUB,),
         in_specs=[
             pl.BlockSpec((8 * SUB, RAY_TILE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows * SUB, RAY_TILE), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=vma.struct((rows * tiles, RAY_TILE), jnp.int32, v),
-        scratch_shapes=[pltpu.VMEM((kb32 // 32, RAY_TILE), jnp.int32)],
+        out_specs=out_specs if emit_words else out_specs[0],
+        out_shape=out_shape if emit_words else out_shape[0],
+        scratch_shapes=[pltpu.VMEM((n_words, RAY_TILE), jnp.int32)],
         interpret=interpret,
     )(rays_lane, vma.promote(cs.bin_box, v))
-    out = out.reshape(tiles, rows, RAY_TILE).transpose(0, 2, 1)
-    out = out.reshape(n_pad, rows)
-    return out[:, :w_slots], out[:, w_slots] > 0
+    out = res[0] if emit_words else res
+    ids, ovf = _ids_unpack(out, tiles, rows, w_slots)
+    if emit_words:
+        return ids, ovf, res[1]
+    return ids, ovf
+
+
+def _peel_call(cs: ClusterScene, words, w_slots, interpret):
+    """Next w_slots candidate bins per ray from carried crossing words.
+    -> (ids, overflow, words) like _prepass_call(emit_words=True)."""
+    kb32 = cs.bin_box.shape[0]
+    n_words = kb32 // 32
+    tiles = words.shape[0] // n_words
+    rows = w_slots + 1
+    v = vma.args_vma(words)
+    ids_out, words_out = pl.pallas_call(
+        partial(_peel_kernel, n_words, w_slots, SUB),
+        grid=(tiles // SUB,),
+        in_specs=[
+            pl.BlockSpec((n_words * SUB, RAY_TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows * SUB, RAY_TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_words * SUB, RAY_TILE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            vma.struct((rows * tiles, RAY_TILE), jnp.int32, v),
+            vma.struct((n_words * tiles, RAY_TILE), jnp.int32, v),
+        ],
+        interpret=interpret,
+    )(words)
+    ids, ovf = _ids_unpack(ids_out, tiles, rows, w_slots)
+    return ids, ovf, words_out
 
 
 def _leaf_call(cs: ClusterScene, sortd, prcol, t0, watertight, interpret):
@@ -280,6 +379,203 @@ def _leaf_call(cs: ClusterScene, sortd, prcol, t0, watertight, interpret):
         interpret=interpret,
     )(sortd[:, None], prcol, vma.promote(cs.tri, v))
     return keys[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# HBM-streamed leaf path: no VMEM scene ceiling
+# ---------------------------------------------------------------------------
+#
+# The resident leaf (above) holds the whole (K*16, 128) triangle table in
+# VMEM — fast, but capped at ~220k triangles on v5e (pallas_cluster
+# _check_vmem). The streamed variant below restores binned-v1's design
+# (round-4 commit 50c9dd8, dropped in the v3 rework): the pair stream is
+# re-padded so every 128-pair block belongs to ONE bin, and each block's
+# (BIN*16, 128) triangle rows arrive via a scalar-prefetched BlockSpec
+# index_map — Mosaic DMAs exactly the bins the sorted stream visits from
+# HBM, double-buffered across grid steps by the normal Pallas pipeline.
+# Only the bin boxes (prepass) and the in-flight triangle blocks occupy
+# VMEM, so scene size is bounded by HBM (~16 GB), like the reference's
+# device-global-memory scenes (bvh_taichi.py:116-124, World.commit
+# intersection_taichi.py:189-236) and unlike every resident kernel here.
+#
+# Exactness without the sweep: overflow rays (> W crossing bins) cannot
+# re-trace through the VMEM-resident sweep (the scene may not fit), so the
+# streamed path carries the prepass's remaining crossing words and keeps
+# peeling W more bins per ray per round (_peel_kernel) inside a
+# lax.while_loop until no ray has bits left — every crossed bin is tested
+# exactly once, in ascending bin order.
+
+BPS_S = 8          # pair blocks per streamed leaf grid step
+
+
+def _leaf_kernel_streamed(bps, t0, watertight, ids_ref, valid_ref, rcol_ref,
+                          *tri_and_out):
+    """Per grid step: `bps` single-bin 128-pair blocks. Block b's bin
+    triangles arrive pre-DMA'd from HBM via the scalar-prefetched
+    index_map (tri_and_out[b]); the bin's BIN clusters run the dense
+    column-form leaf chunks, packed-key output. No while-loops, no
+    scalar extracts — the sort already made every decision."""
+    tri_refs = tri_and_out[:bps]
+    out_ref = tri_and_out[bps]
+    step = pl.program_id(0)
+    f = _leaf_wt_chunk if watertight else _leaf_mt_chunk
+    from pyrenderer_tpu.accel.clusters import TRI_ROWS
+
+    for b in range(bps):
+        out_ref[pl.ds(b * RAY_TILE, RAY_TILE), :] = jnp.full(
+            (RAY_TILE, 1), MISS_KEY, jnp.int32
+        )
+
+        @pl.when(valid_ref[step * bps + b] > 0)
+        def _(b=b):
+            rcol = rcol_ref[pl.ds(b * RAY_TILE, RAY_TILE), :]
+            oc = (rcol[:, 0:1], rcol[:, 1:2], rcol[:, 2:3])
+            dc = (rcol[:, 3:4], rcol[:, 4:5], rcol[:, 5:6])
+            t1c = rcol[:, 6:7]
+            cand = jnp.full((RAY_TILE, 1), MISS_KEY, jnp.int32)
+            for ci in range(BIN):
+                blk = tri_refs[b][pl.ds(ci * TRI_ROWS, TRI_ROWS), :]
+                key7 = f(blk, oc, dc, t0, t1c)
+                key9 = jnp.bitwise_or(
+                    jnp.bitwise_and(key7, ~jnp.int32(_LOW)),
+                    jnp.bitwise_or(
+                        jnp.int32(ci << 7),
+                        jnp.bitwise_and(key7, jnp.int32(127)),
+                    ),
+                )
+                cand = jnp.minimum(cand, key9)
+            out_ref[pl.ds(b * RAY_TILE, RAY_TILE), :] = cand
+
+
+def _leaf_call_streamed(cs: ClusterScene, ids_blk, valid_blk, prcol, t0,
+                        watertight, interpret):
+    from pyrenderer_tpu.accel.clusters import TRI_ROWS
+
+    p_pad = prcol.shape[0]
+    n_blocks = p_pad // RAY_TILE
+    v = vma.args_vma(ids_blk, valid_blk, prcol)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,          # ids_blk, valid_blk
+        grid=(n_blocks // BPS_S,),
+        in_specs=[
+            pl.BlockSpec((BPS_S * RAY_TILE, 8), lambda i, ids, vld: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(
+                (BIN * TRI_ROWS, LANE_TRIS),
+                partial(lambda b, i, ids, vld: (ids[i * BPS_S + b], 0), b),
+                memory_space=pltpu.VMEM,
+            )
+            for b in range(BPS_S)
+        ],
+        out_specs=pl.BlockSpec((BPS_S * RAY_TILE, 1),
+                               lambda i, ids, vld: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    keys = pl.pallas_call(
+        partial(_leaf_kernel_streamed, BPS_S, t0, watertight),
+        grid_spec=grid_spec,
+        out_shape=vma.struct((p_pad, 1), jnp.int32, v),
+        interpret=interpret,
+    )(ids_blk, valid_blk, prcol, *([vma.promote(cs.tri, v)] * BPS_S))
+    return keys[:, 0]
+
+
+def _trace_round_streamed(cs: ClusterScene, ids, cols, t0, watertight,
+                          interpret, w):
+    """One streamed trace of an (n_pad, w) candidate table: sort pairs by
+    bin, pad each bin's run to whole 128-pair blocks (so a block's bin is
+    known to the prefetched index_map), stream the leaf, unsort.
+    -> (kmin (n_pad,) packed keys, binwin (n_pad,))."""
+    n_pad = ids.shape[0]
+    kb = cs.n_clusters // BIN
+    flat = ids.reshape(-1)                           # (P,) ray-major
+    p = flat.shape[0]
+    iota = jnp.arange(p, dtype=jnp.int32)
+    sortd, perm = jax.lax.sort([flat, iota], num_keys=1)
+
+    # per-bin segment offsets in the sorted stream (sentinels land in
+    # bucket kb and get no blocks)
+    sids = jnp.minimum(sortd, kb)
+    coff = jnp.searchsorted(
+        sids, jnp.arange(kb + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)                              # (kb+1,)
+    cnt = jnp.diff(coff)                             # (kb,) pairs per bin
+    bcnt = -(-cnt // RAY_TILE) * RAY_TILE            # block-padded
+    boff = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(bcnt).astype(jnp.int32)]
+    )                                                # (kb+1,)
+    # static worst case: every nonempty bin wastes < RAY_TILE slots
+    p_pad = -(-(p + kb * (RAY_TILE - 1)) // (BPS_S * RAY_TILE)) * (
+        BPS_S * RAY_TILE)
+    n_blocks = p_pad // RAY_TILE
+    bstart = jnp.arange(n_blocks, dtype=jnp.int32) * RAY_TILE
+    jblk = (jnp.searchsorted(boff, bstart, side="right") - 1).astype(
+        jnp.int32)
+    jblk = jnp.minimum(jblk, kb)                     # past-the-end -> kb
+    valid_blk = (jblk < kb).astype(jnp.int32)
+    ids_blk = jnp.minimum(jblk, kb - 1)
+
+    # padded slot -> source sorted pair -> ray columns
+    slot_i = jnp.arange(p_pad, dtype=jnp.int32)
+    jslot = jnp.take(jblk, slot_i // RAY_TILE)
+    jsc = jnp.minimum(jslot, kb - 1)
+    rank = slot_i - jnp.take(boff, jsc)
+    src_ok = (jslot < kb) & (rank < jnp.take(cnt, jsc))
+    src = jnp.where(src_ok, jnp.take(coff, jsc) + rank, 0)
+    pray = jnp.take(perm, src) // w
+    prcol = jnp.where(
+        src_ok[:, None], jnp.take(cols, pray, axis=0), 0.0
+    )                                                # (p_pad, 8)
+
+    keys_pad = _leaf_call_streamed(cs, ids_blk, valid_blk, prcol, t0,
+                                   watertight, interpret)
+
+    # unsort: original pair q sits at sorted position inv[q], which is
+    # padded position boff[bin] + (inv[q] - coff[bin])
+    inv = jnp.zeros((p,), jnp.int32).at[perm].set(iota)
+    real = flat != SENTINEL
+    idc = jnp.minimum(flat, kb - 1)
+    ppos = jnp.where(
+        real, jnp.take(boff, idc) + (inv - jnp.take(coff, idc)), 0
+    )
+    key_s = jnp.where(real, jnp.take(keys_pad, ppos), MISS_KEY)
+    keymat = key_s.reshape(n_pad, w)
+    kmin = jnp.min(keymat, axis=1)
+    amin = jnp.argmin(keymat, axis=1)
+    binwin = jnp.take_along_axis(ids, amin[:, None], axis=1)[:, 0]
+    return kmin, binwin
+
+
+@partial(jax.jit, static_argnames=("t0", "watertight", "interpret", "w"))
+def _binned_core_streamed(cs: ClusterScene, ro, rd, t1v, t0, watertight,
+                          interpret, w):
+    """Streamed binned closest-hit core: exact with NO VMEM scene
+    residency. Overflow rays keep peeling w more candidate bins per round
+    (carried crossing words, no slab recomputation) until none remain.
+    -> (kmin (n_pad,) packed keys, binwin (n_pad,))."""
+    lane, cols = _pack_rays(ro, rd, t1v)
+    ids, ovf, words = _prepass_call(cs, lane, t0, w, interpret,
+                                    emit_words=True)
+    kmin, binwin = _trace_round_streamed(cs, ids, cols, t0, watertight,
+                                         interpret, w)
+
+    def cond(c):
+        return jnp.any(c[2])
+
+    def body(c):
+        kmin, binwin, ovf, words = c
+        ids2, ovf2, words2 = _peel_call(cs, words, w, interpret)
+        k2, b2 = _trace_round_streamed(cs, ids2, cols, t0, watertight,
+                                       interpret, w)
+        better = k2 < kmin
+        return (jnp.minimum(kmin, k2), jnp.where(better, b2, binwin),
+                ovf2, words2)
+
+    kmin, binwin, _, _ = jax.lax.while_loop(
+        cond, body, (kmin, binwin, ovf, words)
+    )
+    return kmin, binwin
 
 
 @partial(jax.jit, static_argnames=("t0", "watertight", "interpret", "w"))
@@ -330,13 +626,23 @@ def _pad_rays(ro, rd, t1):
 
 
 def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
-                interpret=False):
+                interpret=False, streamed=False):
     """Binned closest hit: same contract as pallas_cluster.closest_hit
     (hit, t, face), including exact f32 t (the in-kernel <= 2^-14 packed
     rounding is undone at the boundary via exact_t_for_slot). Needs no
-    coherence sort — performance is wavefront-order independent. Overflow
-    rays (> W_SLOTS crossing bins) re-trace exactly through the tile
-    sweep under a lax.cond that costs nothing when no ray overflows.
+    coherence sort — performance is wavefront-order independent.
+
+    streamed=False (default): triangle table VMEM-resident; overflow rays
+    (> W_SLOTS crossing bins) re-trace exactly through the tile sweep
+    under a lax.cond that costs nothing when no ray overflows.
+
+    streamed=True: triangle bins DMA from HBM via prefetched index maps —
+    NO VMEM scene ceiling (the resident paths cap at ~220k triangles on
+    v5e); overflow rays instead keep peeling more candidate bins per
+    round until none remain (see the streamed section above). This is
+    the auto-selected path for scenes past the VMEM budget
+    (core.integrator.resolve_backend -> "cluster_streamed").
+
     Off-TPU (and not interpreting) routes to the pure-JAX oracle like the
     sweep does."""
     ro, rd, t1 = jax.lax.stop_gradient((ro, rd, t1))
@@ -346,11 +652,19 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
         hit, t, slot = closest_hit_ref(cs, ro, rd, t0, t1,
                                        watertight=watertight)
         return hit, t, slot_to_face(cs, slot).astype(jnp.int32)
-    _check_vmem(cs, "binned")
+    if not streamed:
+        _check_vmem(cs, "binned")
     ro_p, rd_p, t1v, n = _pad_rays(ro, rd, t1)
-    kmin, binwin, ovf = _binned_core(cs, ro_p, rd_p, t1v, float(t0),
-                                     watertight, interpret, _w_slots())
-    kmin, binwin, ovf = kmin[:n], binwin[:n], ovf[:n]
+    if streamed:
+        kmin, binwin = _binned_core_streamed(
+            cs, ro_p, rd_p, t1v, float(t0), watertight, interpret,
+            _w_slots())
+        kmin, binwin = kmin[:n], binwin[:n]
+        ovf = None                        # rounds already made it exact
+    else:
+        kmin, binwin, ovf = _binned_core(cs, ro_p, rd_p, t1v, float(t0),
+                                         watertight, interpret, _w_slots())
+        kmin, binwin, ovf = kmin[:n], binwin[:n], ovf[:n]
     hit = kmin < MISS_KEY
     t = jax.lax.bitcast_convert_type(
         jnp.bitwise_and(kmin, ~jnp.int32(_LOW)), jnp.float32
@@ -361,6 +675,9 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
     from pyrenderer_tpu.accel.clusters import exact_t_for_slot
 
     t = exact_t_for_slot(cs, slot, ro, rd, t)   # undo the packed rounding
+    face = slot_to_face(cs, slot).astype(jnp.int32)
+    if streamed:
+        return hit, jnp.where(hit, t, 0.0), face
 
     def with_residual(_):
         from pyrenderer_tpu.kernels import pallas_cluster as pc
@@ -377,7 +694,6 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
         )
 
     h2, t2, f2 = jax.lax.cond(jnp.any(ovf), with_residual, no_residual, None)
-    face = slot_to_face(cs, slot).astype(jnp.int32)
     hit_f = jnp.where(ovf, h2, hit)
     t_f = jnp.where(ovf, t2, jnp.where(hit, t, 0.0))
     face_f = jnp.where(ovf, f2, face)
@@ -385,16 +701,23 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
 
 
 def occluded(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
-             interpret=False):
+             interpret=False, streamed=False):
     """Binned any-hit: True where something lies in (t0, t1). Shadow rays
     carry bounded t1, so their candidate sets are the smallest of all
     query types; a hit found by the bounded closest-hit machinery IS an
-    occlusion, and a miss proves clearance."""
+    occlusion, and a miss proves clearance. streamed=True as in
+    closest_hit (HBM-streamed bins, peel-round residual, no VMEM
+    ceiling)."""
     ro, rd, t1 = jax.lax.stop_gradient((ro, rd, t1))
     if not interpret and jax.default_backend() != "tpu":
         from pyrenderer_tpu.accel.clusters import occluded_ref
 
         return occluded_ref(cs, ro, rd, t0, t1, watertight=watertight)
+    if streamed:
+        ro_p, rd_p, t1v, n = _pad_rays(ro, rd, t1)
+        kmin, _ = _binned_core_streamed(cs, ro_p, rd_p, t1v, float(t0),
+                                        watertight, interpret, _w_slots())
+        return kmin[:n] < MISS_KEY
     _check_vmem(cs, "binned")
     ro_p, rd_p, t1v, n = _pad_rays(ro, rd, t1)
     kmin, _, ovf = _binned_core(cs, ro_p, rd_p, t1v, float(t0),

@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--backend",
         choices=["auto", "pallas", "matmul", "brute", "bvh", "cluster",
-                 "cluster_binned", "watertight"],
+                 "cluster_binned", "cluster_streamed", "watertight"],
         default="auto",
         help="intersection backend (auto selects by platform and triangle count)",
     )
