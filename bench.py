@@ -235,7 +235,10 @@ def main():
         return total, rays
 
     tag = "" if estimator == "reference" else f",{estimator}"
-    tag += ",watertight" if watertight else ""
+    # cluster_watertight defaults to "auto" (leak-free leaves on >=32k-tri
+    # meshes); tag/metric suffixes mark only FORCED settings
+    tag += ",watertight" if watertight is True else ""
+    tag += ",nowatertight" if watertight is False else ""
     tag += ",nosort" if not sort else ""
     print(
         f"bench[{scene_name}{tag}]: {w}x{h}, {scene.faces.shape[0]} tris, "
@@ -273,7 +276,8 @@ def main():
     row = {
         "metric": metric
         + ("_" + estimator if estimator != "reference" else "")
-        + ("_watertight" if watertight else "")
+        + ("_watertight" if watertight is True else "")
+        + ("_nowatertight" if watertight is False else "")
         + ("_nosort" if not sort else ""),
         "value": round(mrays, 2),
         "unit": "Mrays/s",

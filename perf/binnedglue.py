@@ -159,6 +159,52 @@ def main():
     report("scatter_unsort", slope_time(scatter_unsort, keys_sorted),
            "(one scatter instead of inv-build + take)")
 
+    # ---- boundary / unaccounted stages ---------------------------------
+    rows = w + 1
+    tiles = (N + pb.RAY_TILE - 1) // pb.RAY_TILE
+    raw = jnp.zeros((rows * tiles, pb.RAY_TILE), jnp.int32)
+
+    def ids_unpack(raw, c):
+        ids, ovf = pb._ids_unpack(raw + c.astype(jnp.int32) * 0, tiles, rows, w)
+        return ids[:, 0].astype(jnp.float32)
+
+    report("ids_unpack", slope_time(ids_unpack, raw),
+           "(prepass out transpose/reshape)")
+
+    def packrays(ro, rd, c):
+        lane, cols2 = pb._pack_rays(ro + c, rd, t1v)
+        return lane[:1, 0]
+
+    report("pack_rays", slope_time(packrays, ro, rd))
+
+    from pyrenderer_tpu.accel.clusters import exact_t_for_slot, slot_to_face
+
+    slot = jnp.abs(jnp.arange(N, dtype=jnp.int32)) % (cs.n_clusters * 128)
+    tpk = jnp.ones((N,), jnp.float32)
+
+    def exact_t(ro, rd, c):
+        return exact_t_for_slot(cs, slot, ro + c, rd, tpk)
+
+    report("exact_t", slope_time(exact_t, ro, rd), "(9-gather re-derive)")
+
+    def s2f(ro, rd, c):
+        return slot_to_face(cs, slot + c.astype(jnp.int32) * 0).astype(
+            jnp.float32)
+
+    report("slot_to_face", slope_time(s2f, ro, rd))
+
+    def residual_sweep(ro, rd, c):
+        # the all-dead residual sweep the overflow cond pays when ANY ray
+        # overflows (t1r = 0 for 99.9% of rays)
+        from pyrenderer_tpu.kernels import pallas_cluster as pcl
+
+        t1r = jnp.where(jnp.arange(N) < 256, 1e9, 0.0)
+        h, t, f = pcl.closest_hit(cs, ro + c, rd, 1e-4, t1r, sort=False)
+        return jnp.where(t > 0, 1.0, 0.0)
+
+    report("resid_sweep", slope_time(residual_sweep, ro, rd),
+           "(sweep with 256 live rays)")
+
     # ---- end-to-end ----------------------------------------------------
     def core(ro, rd, c):
         kmin, binwin, ovf = pb._binned_core(

@@ -408,11 +408,13 @@ def exact_t_for_slot(cs: ClusterScene, slot, ro, rd, t_packed):
     vanishes (a watertight-leaf edge case MT cannot re-derive).
     """
     s = jnp.maximum(slot, 0)
-    base = (s // LANE_TRIS) * TRI_ROWS
-    lane = s % LANE_TRIS
-    flat = cs.tri.reshape(-1)
-    idx = (base[:, None] + jnp.arange(9)) * LANE_TRIS + lane[:, None]
-    rows = jnp.take(flat, idx)                   # (N, 9) v0|e1|e2
+    k = cs.n_clusters
+    # one (slots, 16) row gather: the (N, 9) fancy-index form measured
+    # 22 ms at N=262k on chip (XLA's gather lowering is shape-capricious,
+    # perf/RESULTS.md) while per-slot row take is ~1 ms; the transpose is
+    # a cheap memory-bound relayout XLA can schedule once
+    by_slot = cs.tri.reshape(k, TRI_ROWS, LANE_TRIS).transpose(0, 2, 1)
+    rows = jnp.take(by_slot.reshape(k * LANE_TRIS, TRI_ROWS), s, axis=0)
     v0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
     c = jnp.cross(e1, rd)
     det = jnp.sum(c * e2, axis=1)

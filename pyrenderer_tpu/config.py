@@ -40,14 +40,20 @@ class RenderConfig:
     adaptive_min_spp: int = 8      # uniform spp before adaptivity kicks in
     adaptive_tolerance: float = 0.02  # stop refining a pixel below this relative error
     shadow_eps: float = 1e-3       # relative margin excluding the sampled light face
-    cluster_watertight: bool = False  # cluster-backend leaves use the PBRT
-    #                                shear watertight test instead of plain
-    #                                Moeller-Trumbore (leak-free shared
-    #                                edges; reference intersection_taichi
-    #                                .py:94 exists for the same reason).
-    #                                Chip-measured cost is scene-dependent:
-    #                                1.36x on terrain100k, 1.73x on
-    #                                terrain8k, 1.4x on blob82k
+    cluster_watertight: bool | str = "auto"  # cluster-backend leaves use
+    #                                the PBRT shear watertight test instead
+    #                                of plain Moeller-Trumbore (leak-free
+    #                                shared edges; reference
+    #                                intersection_taichi.py:94 exists for
+    #                                the same reason). "auto" (default
+    #                                since round 5) = watertight for big
+    #                                meshes (>= 256 clusters ~ 32k tris,
+    #                                where the round-5 leaf costs <= 1.3x:
+    #                                chip A/B 2.34 vs 3.02 Mrays/s on
+    #                                terrain100k = 1.29x), Moeller-
+    #                                Trumbore below (terrain8k still pays
+    #                                1.65x). True/False force it — see
+    #                                integrator.resolve_cluster_watertight
     #                                (perf/RESULTS.md round 4) — above the
     #                                ~1.3x bar set for flipping the
     #                                default, so the default matches the

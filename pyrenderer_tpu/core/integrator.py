@@ -119,6 +119,21 @@ def resolve_cluster_sort(cfg: RenderConfig, accel) -> bool:
     return bool(cfg.cluster_sort)
 
 
+def resolve_cluster_watertight(cfg: RenderConfig, accel) -> bool:
+    """Concrete watertight-leaf decision ("auto" -> leak-free PBRT shear
+    leaves for big meshes, plain Moeller-Trumbore below). The size
+    threshold reuses AUTO_SORT_MIN_CLUSTERS (~32k tris): chip-measured
+    round 5, the watertight leaf costs 1.29x end-to-end on terrain100k
+    (under the 1.3x default-flip bar) but 1.65x on terrain8k — and
+    shared-edge leaks are a dense-mesh failure mode in the first place
+    (the reference's watertight test, intersection_taichi.py:94-161,
+    exists for exactly that class). The reference DEFAULTS to the leaky
+    fast test everywhere; this default is strictly safer."""
+    if cfg.cluster_watertight == "auto":
+        return accel is not None and accel.n_clusters >= AUTO_SORT_MIN_CLUSTERS
+    return bool(cfg.cluster_watertight)
+
+
 def default_backend() -> str:
     """Platform default with no scene knowledge (small-scene assumption)."""
     return "pallas" if jax.default_backend() == "tpu" else "brute"
@@ -340,9 +355,15 @@ def _closest(scene, tables, cfg, ro, rd, t1, sort=None):
     if b in ("cluster_binned", "cluster_streamed"):
         from pyrenderer_tpu.kernels import pallas_binned as pb
 
+        # exact_t=False: the integrator re-derives hit geometry from the
+        # face id differentiably (see the trace body), so the packed-t
+        # rounding never reaches anything and the 9-gather re-derivation
+        # would be pure overhead on the hot path
         return pb.closest_hit(tables.accel, ro, rd, cfg.t_min, t1,
-                              watertight=cfg.cluster_watertight,
-                              streamed=(b == "cluster_streamed"))
+                              watertight=resolve_cluster_watertight(
+                                  cfg, tables.accel),
+                              streamed=(b == "cluster_streamed"),
+                              exact_t=False)
     if b == "cluster":
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
@@ -350,9 +371,10 @@ def _closest(scene, tables, cfg, ro, rd, t1, sort=None):
             tables.accel, ro, rd, cfg.t_min, t1,
             sort=resolve_cluster_sort(cfg, tables.accel) if sort is None
             else sort,
-            watertight=cfg.cluster_watertight,
+            watertight=resolve_cluster_watertight(cfg, tables.accel),
             rounds=cfg.cluster_rounds,
-            budget=cfg.cluster_budget)
+            budget=cfg.cluster_budget,
+            exact_t=False)  # integrator re-derives from the face id
     if b == "watertight":
         from pyrenderer_tpu.core.watertight import intersect_watertight
 
@@ -380,7 +402,8 @@ def _any_hit(scene, tables, cfg, ro, rd, t1, sort=None):
         from pyrenderer_tpu.kernels import pallas_binned as pb
 
         return pb.occluded(tables.accel, ro, rd, cfg.t_min, t1,
-                           watertight=cfg.cluster_watertight,
+                           watertight=resolve_cluster_watertight(
+                               cfg, tables.accel),
                            streamed=(b == "cluster_streamed"))
     if b == "cluster":
         from pyrenderer_tpu.kernels import pallas_cluster as pc
@@ -389,7 +412,7 @@ def _any_hit(scene, tables, cfg, ro, rd, t1, sort=None):
             tables.accel, ro, rd, cfg.t_min, t1,
             sort=resolve_cluster_sort(cfg, tables.accel) if sort is None
             else sort,
-            watertight=cfg.cluster_watertight)
+            watertight=resolve_cluster_watertight(cfg, tables.accel))
     if b == "watertight":
         from pyrenderer_tpu.core.watertight import occluded_watertight
 

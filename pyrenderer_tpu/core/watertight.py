@@ -42,6 +42,36 @@ def diff_of_products(a, b, c, d):
     return (p1 - p2) + (e1 - e2)
 
 
+# Fallback trigger: |a*b - c*d| <= (|a*b| + |c*d|) * 2^-22.
+#
+# Round 5 finding: triggering on e == 0.0 EXACTLY (the round-1..4 design,
+# after PBRT's f64 fallback) is fusion-dependent — XLA freely contracts
+# the mul/sub pair into an fma, in which case an exactly-cancelling
+# a*b - c*d evaluates to the +/-1-ulp rounding residue of c*d instead of
+# 0.0 and the fallback NEVER fires (measured on CPU jit: the 4096-ray
+# shared-edge hunt leaks 2043 rays with the dop code absent, 0 with it
+# present, because the dop operand reuse happens to suppress the
+# contraction — i.e. correctness hinged on a fusion accident). A
+# relative threshold of 2 ulp of the product magnitudes covers the
+# contraction residue on every backend, and lanes under it get the
+# compensated recomputation whose value does not depend on contraction
+# of the surrounding code.
+_EDGE_REL_TOL = 2.0 ** -22
+
+
+def edge_fn(a, b, c, d):
+    """Watertight 2D edge function a*b - c*d: fast product difference,
+    compensated (diff_of_products) wherever cancellation leaves less
+    than ~2 ulp of signal — see _EDGE_REL_TOL for why the trigger is a
+    threshold, not ==0. Shared by the CPU oracle and (same algebra,
+    kernel layout) kernels/pallas_cluster._leaf_wt_chunk."""
+    p1 = a * b
+    p2 = c * d
+    e = p1 - p2
+    thr = (jnp.abs(p1) + jnp.abs(p2)) * _EDGE_REL_TOL
+    return jnp.where(jnp.abs(e) <= thr, diff_of_products(a, b, c, d), e)
+
+
 def _permute(v, kx, ky, kz):
     """Gather-free axis permutation for (..., 3) with per-element indices."""
     def pick(k):
@@ -88,13 +118,12 @@ def watertight_terms(v0, v1, v2, ro, rd):
     x1, y1, z1 = shear(v1)
     x2, y2, z2 = shear(v2)
 
-    e0 = x1 * y2 - y1 * x2
-    e1 = x2 * y0 - y2 * x0
-    e2 = x0 * y1 - y0 * x1
-    # compensated recomputation only where the fast path hit exact zero
-    e0 = jnp.where(e0 == 0.0, diff_of_products(x1, y2, y1, x2), e0)
-    e1 = jnp.where(e1 == 0.0, diff_of_products(x2, y0, y2, x0), e1)
-    e2 = jnp.where(e2 == 0.0, diff_of_products(x0, y1, y0, x1), e2)
+    # compensated recomputation where cancellation leaves < ~2 ulp of
+    # signal (threshold, NOT ==0: see _EDGE_REL_TOL — exact-zero
+    # detection is destroyed by XLA fma contraction)
+    e0 = edge_fn(x1, y2, y1, x2)
+    e1 = edge_fn(x2, y0, y2, x0)
+    e2 = edge_fn(x0, y1, y0, x1)
 
     mixed = ((e0 < 0) | (e1 < 0) | (e2 < 0)) & ((e0 > 0) | (e1 > 0) | (e2 > 0))
     det = e0 + e1 + e2

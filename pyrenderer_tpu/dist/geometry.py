@@ -219,11 +219,15 @@ def render_field_geometry_sharded(
             # accelerated per-shard traversal: the cluster sweep over THIS
             # device's shard only (Pallas kernel on TPU, pure-JAX twin
             # elsewhere); zero-padded faces have det == 0 and never win
-            from pyrenderer_tpu.core.integrator import resolve_cluster_sort
+            from pyrenderer_tpu.core.integrator import (
+                resolve_cluster_sort,
+                resolve_cluster_watertight,
+            )
             from pyrenderer_tpu.kernels import pallas_cluster as pc
 
             cs_l = jax.tree.map(lambda x: x[0], rest[0])
             do_sort = resolve_cluster_sort(cfg, cs_l)
+            do_wt = resolve_cluster_watertight(cfg, cs_l)
 
             # forward the FULL cluster config (watertight leaves, suspend/
             # resume rounds) exactly like core/integrator._closest — same
@@ -231,14 +235,14 @@ def render_field_geometry_sharded(
             def local_closest(ro, rd, t1):
                 return pc.closest_hit(cs_l, ro, rd, cfg.t_min, t1,
                                       sort=do_sort,
-                                      watertight=cfg.cluster_watertight,
+                                      watertight=do_wt,
                                       rounds=cfg.cluster_rounds,
                                       budget=cfg.cluster_budget)
 
             def local_occluded(ro, rd, t1):
                 return pc.occluded(cs_l, ro, rd, cfg.t_min, t1,
                                    sort=do_sort,
-                                   watertight=cfg.cluster_watertight)
+                                   watertight=do_wt)
         else:
             def local_closest(ro, rd, t1):
                 return isect.intersect_brute_arrays(

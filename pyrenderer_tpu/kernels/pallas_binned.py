@@ -16,11 +16,14 @@ per-visit overheads by MOVING THE DATA-DEPENDENT ITERATION INTO ONE SORT:
      peels the first W_SLOTS set bits per ray into candidate bin ids
      (vectorized ctz: isolate lowest bit, f32-exponent is the index),
      plus an overflow flag for the tail.
-  2. SORT (XLA): one 3-array lax.sort bins the (bin, ray, slot) triples
-     by bin id. Empty slots carry a sentinel key and sink to the end.
-     Ray data follows with one jnp.take row gather whose indices are
-     piecewise-ascending (fancy row-indexing of the same table measured
-     ~60 ms on chip; sorted-index take is ~10x cheaper).
+  2. SORT (XLA): one 2-array lax.sort bins the (bin, slot) pairs by bin
+     id (the source ray derives from the slot). Empty slots carry a
+     sentinel key and sink to the end — so the leaf stage then runs over
+     the smallest static PREFIX of the sorted stream that holds every
+     real pair (_tier_caps: one element compare per tier, lax.switch).
+     Real pairs are typically a small fraction of the N*W slot table,
+     and the (P, 8) ray-columns gather was the single biggest glue item
+     before tiering (16.5 ms of a 50 ms query at N=262k, measured).
   3. LEAF (Pallas): per 128-pair block, iterate the block's DISTINCT bin
      ids (sorted, so typically one) with a masked while-loop: one scalar
      extract per distinct bin, then the bin's 4 clusters run the dense
@@ -29,11 +32,12 @@ per-visit overheads by MOVING THE DATA-DEPENDENT ITERATION INTO ONE SORT:
      bounds and 2 extra key bits for the cluster within the bin.
      All-sentinel blocks exit after one extract; all-sentinel grid steps
      after one.
-  4. REDUCE (XLA): packed keys (masked t bits | triangle-in-bin) unsort
-     to ray-major (N, W) and a min picks the closest hit. Overflow rays
-     (> W_SLOTS crossing bins, the p95+ tail) re-trace exactly through
-     the tile sweep under a lax.cond that costs nothing when none
-     overflow.
+  4. REDUCE (XLA): per-ray closest hit via two cap-sized scatter-mins
+     (_reduce_pairs: kmin scatter-min, then a tag pass for the winning
+     bin) — the round-4 inverse-permutation unsort to an (N, W) table
+     cost ~19 ms at P=1.57M on chip. Overflow rays (> W_SLOTS crossing
+     bins, the p95+ tail) re-trace exactly through the tile sweep under
+     a lax.cond that costs nothing when none overflow.
 
 Compared to the sweep on a shuffled bounce wavefront, each pair pays 512
 dense tests with ZERO traversal overhead — and the VPU is so much faster
@@ -86,15 +90,29 @@ from pyrenderer_tpu.kernels.pallas_cluster import (
 # routes through the sweep. Any value works (the pair stream pads to a
 # block multiple). Env knob so tests and the perf harness can force the
 # overflow path.
-W_SLOTS = int(os.environ.get("PYRENDERER_BINNED_W", "6"))
+_W_DEFAULT = 6
+W_SLOTS = int(os.environ.get("PYRENDERER_BINNED_W", str(_W_DEFAULT)))
+
+# streamed-path W default: the peel-round residual makes overflow cost a
+# FULL extra round (sort + gathers + leaf), so a wider first round pays.
+# Chip W sweep (same session, round 5): 32k shuffled rays, terrain100k
+# 36.0/30.9/39.0 ms at W=6/10/14; terrain500k 69.8/66.8/84.8 -> W=10.
+W_SLOTS_STREAMED = 10
 
 
-def _w_slots() -> int:
+def _w_slots(streamed: bool = False) -> int:
     """Per-call read of the W knob (ADVICE r4: the import-time-only read
-    silently ignored env changes mid-process). The env var wins when set;
-    otherwise the module value (which tests monkeypatch)."""
+    silently ignored env changes mid-process). Priority: env var, then a
+    monkeypatched W_SLOTS (tests force tiny W to exercise the overflow
+    paths), then the per-mode default."""
     env = os.environ.get("PYRENDERER_BINNED_W")
-    return int(env) if env is not None else W_SLOTS
+    if env is not None:
+        return int(env)
+    if W_SLOTS != _W_DEFAULT:      # monkeypatched by a test/harness
+        return W_SLOTS
+    return W_SLOTS_STREAMED if streamed else W_SLOTS
+
+
 SUB = 8            # ray tiles per prepass grid step (DMA amortization)
 BPS = 16           # pair blocks per leaf grid step
 SENTINEL = 0x7FFFFFFF   # empty candidate slot: sorts after every real id
@@ -481,22 +499,16 @@ def _leaf_call_streamed(cs: ClusterScene, ids_blk, valid_blk, prcol, t0,
     return keys[:, 0]
 
 
-def _trace_round_streamed(cs: ClusterScene, ids, cols, t0, watertight,
-                          interpret, w):
-    """One streamed trace of an (n_pad, w) candidate table: sort pairs by
-    bin, pad each bin's run to whole 128-pair blocks (so a block's bin is
-    known to the prefetched index_map), stream the leaf, unsort.
-    -> (kmin (n_pad,) packed keys, binwin (n_pad,))."""
-    n_pad = ids.shape[0]
+def _blockified_leaf(cs: ClusterScene, sortd_c, perm_c, cols, t0,
+                     watertight, interpret, w):
+    """Streamed leaf over a (cap,) prefix of the sorted pair stream: pad
+    each bin's run to whole 128-pair blocks (so a block's bin is known to
+    the prefetched index_map), stream the leaf, and map the padded keys
+    back to SORTED-position order. Returns (cap,) keys."""
+    cap = sortd_c.shape[0]
     kb = cs.n_clusters // BIN
-    flat = ids.reshape(-1)                           # (P,) ray-major
-    p = flat.shape[0]
-    iota = jnp.arange(p, dtype=jnp.int32)
-    sortd, perm = jax.lax.sort([flat, iota], num_keys=1)
-
-    # per-bin segment offsets in the sorted stream (sentinels land in
-    # bucket kb and get no blocks)
-    sids = jnp.minimum(sortd, kb)
+    # per-bin segment offsets (sentinels land in bucket kb, no blocks)
+    sids = jnp.minimum(sortd_c, kb)
     coff = jnp.searchsorted(
         sids, jnp.arange(kb + 1, dtype=jnp.int32)
     ).astype(jnp.int32)                              # (kb+1,)
@@ -506,7 +518,7 @@ def _trace_round_streamed(cs: ClusterScene, ids, cols, t0, watertight,
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(bcnt).astype(jnp.int32)]
     )                                                # (kb+1,)
     # static worst case: every nonempty bin wastes < RAY_TILE slots
-    p_pad = -(-(p + kb * (RAY_TILE - 1)) // (BPS_S * RAY_TILE)) * (
+    p_pad = -(-(cap + kb * (RAY_TILE - 1)) // (BPS_S * RAY_TILE)) * (
         BPS_S * RAY_TILE)
     n_blocks = p_pad // RAY_TILE
     bstart = jnp.arange(n_blocks, dtype=jnp.int32) * RAY_TILE
@@ -523,7 +535,7 @@ def _trace_round_streamed(cs: ClusterScene, ids, cols, t0, watertight,
     rank = slot_i - jnp.take(boff, jsc)
     src_ok = (jslot < kb) & (rank < jnp.take(cnt, jsc))
     src = jnp.where(src_ok, jnp.take(coff, jsc) + rank, 0)
-    pray = jnp.take(perm, src) // w
+    pray = jnp.take(perm_c, src) // w
     prcol = jnp.where(
         src_ok[:, None], jnp.take(cols, pray, axis=0), 0.0
     )                                                # (p_pad, 8)
@@ -531,20 +543,45 @@ def _trace_round_streamed(cs: ClusterScene, ids, cols, t0, watertight,
     keys_pad = _leaf_call_streamed(cs, ids_blk, valid_blk, prcol, t0,
                                    watertight, interpret)
 
-    # unsort: original pair q sits at sorted position inv[q], which is
-    # padded position boff[bin] + (inv[q] - coff[bin])
-    inv = jnp.zeros((p,), jnp.int32).at[perm].set(iota)
-    real = flat != SENTINEL
-    idc = jnp.minimum(flat, kb - 1)
-    ppos = jnp.where(
-        real, jnp.take(boff, idc) + (inv - jnp.take(coff, idc)), 0
+    # padded keys back to sorted-position order: sorted pair q of bin j
+    # sits at padded position boff[j] + (q - coff[j])
+    qi = jnp.arange(cap, dtype=jnp.int32)
+    real_q = sortd_c != SENTINEL
+    idq = jnp.minimum(sortd_c, kb - 1)
+    pposq = jnp.where(
+        real_q, jnp.take(boff, idq) + (qi - jnp.take(coff, idq)), 0
     )
-    key_s = jnp.where(real, jnp.take(keys_pad, ppos), MISS_KEY)
-    keymat = key_s.reshape(n_pad, w)
-    kmin = jnp.min(keymat, axis=1)
-    amin = jnp.argmin(keymat, axis=1)
-    binwin = jnp.take_along_axis(ids, amin[:, None], axis=1)[:, 0]
-    return kmin, binwin
+    return jnp.where(real_q, jnp.take(keys_pad, pposq), MISS_KEY)
+
+
+def _trace_round_streamed(cs: ClusterScene, ids, cols, t0, watertight,
+                          interpret, w):
+    """One streamed trace of an (n_pad, w) candidate table: sort pairs by
+    bin, run the blockified streamed leaf over the smallest adequate
+    sorted-stream prefix (tiered like the resident path), unsort.
+    -> (kmin (n_pad,) packed keys, binwin (n_pad,))."""
+    n_pad = ids.shape[0]
+    flat = ids.reshape(-1)                           # (P,) ray-major
+    p = flat.shape[0]
+    iota = jnp.arange(p, dtype=jnp.int32)
+    sortd, perm = jax.lax.sort([flat, iota], num_keys=1)
+
+    caps = _tier_caps(n_pad, p, RAY_TILE)
+
+    def make_branch(cap):
+        def br(_):
+            keys_c = _blockified_leaf(cs, sortd[:cap], perm[:cap], cols,
+                                      t0, watertight, interpret, w)
+            return _reduce_pairs(keys_c, sortd[:cap], perm[:cap], n_pad, w)
+        return br
+
+    if len(caps) == 1:
+        return make_branch(p)(None)
+    covered = [sortd[c] == SENTINEL for c in caps[:-1]]
+    sel = jnp.int32(len(caps) - 1)
+    for i in range(len(caps) - 2, -1, -1):
+        sel = jnp.where(covered[i], jnp.int32(i), sel)
+    return jax.lax.switch(sel, [make_branch(c) for c in caps], None)
 
 
 @partial(jax.jit, static_argnames=("t0", "watertight", "interpret", "w"))
@@ -578,6 +615,42 @@ def _binned_core_streamed(cs: ClusterScene, ro, rd, t1v, t0, watertight,
     return kmin, binwin
 
 
+def _reduce_pairs(keys_c, sortd_c, perm_c, n_pad, w):
+    """Per-ray closest-hit reduction over a (cap,) sorted pair prefix —
+    WITHOUT any P-sized unsort. The round-4 unsort (inverse-permutation
+    scatter + P-sized gather + (N, W) reshape/argmin) cost ~19 ms at
+    P=1.57M on chip; two cap-sized scatter-mins and one flat gather do
+    the same job:
+
+      kmin[ray]   = min over the ray's pair keys (scatter-min);
+      binwin[ray] = min bin id among pairs achieving kmin (tag pass) —
+                    the same tie-break as the old per-ray argmin over
+                    ascending-bin candidate slots.
+    """
+    ray_c = perm_c // w
+    kmin = jnp.full((n_pad,), MISS_KEY, jnp.int32).at[ray_c].min(keys_c)
+    kk = jnp.take(kmin, ray_c)                       # (cap,) flat gather
+    tag = jnp.where(keys_c == kk, sortd_c, jnp.int32(SENTINEL))
+    binwin = jnp.full((n_pad,), SENTINEL, jnp.int32).at[ray_c].min(tag)
+    return kmin, binwin
+
+
+def _tier_caps(n_pad, p_full, unit):
+    """Static leaf-stage tiers: smallest prefix of the sorted pair stream
+    that could hold all real pairs wins (one scalar compare each). Real
+    pairs are typically a small fraction of the N*W slot table — bounce
+    wavefronts average ~1 candidate bin/ray — so running the gather +
+    leaf over the full slot table wastes most of its work on sentinels
+    (measured: the (1.57M, 8) ray-columns gather alone cost 16.5 ms of a
+    50 ms query before tiering, perf/RESULTS.md round 5)."""
+    caps = []
+    for c in (n_pad // 2, 2 * n_pad):
+        c = -(-c // unit) * unit
+        if c < p_full and c not in caps:
+            caps.append(c)
+    return caps + [p_full]
+
+
 @partial(jax.jit, static_argnames=("t0", "watertight", "interpret", "w"))
 def _binned_core(cs: ClusterScene, ro, rd, t1v, t0, watertight, interpret, w):
     """-> (kmin (n_pad,) packed keys, binwin (n_pad,) winning bin,
@@ -593,22 +666,35 @@ def _binned_core(cs: ClusterScene, ro, rd, t1v, t0, watertight, interpret, w):
         flat = jnp.concatenate(
             [flat, jnp.full((pad,), SENTINEL, jnp.int32)]
         )
-    iota = jnp.arange(p + pad, dtype=jnp.int32)
-    # one fused sort bins the pairs AND carries (ray, slot) along
-    sortd, ray_s, perm = jax.lax.sort(
-        [flat, iota // w, iota], num_keys=1
-    )
-    prcol = jnp.take(cols, ray_s, axis=0)           # (p_pad, 8)
+    p_full = p + pad
+    iota = jnp.arange(p_full, dtype=jnp.int32)
+    # 2-array sort; the source ray is derived from the carried slot index
+    # (the round-4 3-array sort carried iota // w redundantly)
+    sortd, perm = jax.lax.sort([flat, iota], num_keys=1)
 
-    keys_sorted = _leaf_call(cs, sortd, prcol, t0, watertight, interpret)
+    # tiered leaf stage: gather + leaf only over the smallest static
+    # prefix that holds every real pair (sentinels sort last, so ONE
+    # element compare per tier decides coverage)
+    caps = _tier_caps(n_pad, p_full, BPS * RAY_TILE)
 
-    # unsort: original slot s sits at sorted position inv[s]
-    inv = jnp.zeros((p + pad,), jnp.int32).at[perm].set(iota)
-    key_s = jnp.take(keys_sorted, inv)[:p]
-    keymat = key_s.reshape(n_pad, w)
-    kmin = jnp.min(keymat, axis=1)
-    amin = jnp.argmin(keymat, axis=1)
-    binwin = jnp.take_along_axis(ids, amin[:, None], axis=1)[:, 0]
+    def make_branch(cap):
+        def br(_):
+            prcol = jnp.take(cols, perm[:cap] // w, axis=0)
+            keys_c = _leaf_call(cs, sortd[:cap], prcol, t0, watertight,
+                                interpret)
+            return _reduce_pairs(keys_c, sortd[:cap], perm[:cap], n_pad, w)
+        return br
+
+    if len(caps) == 1:
+        kmin, binwin = make_branch(p_full)(None)
+    else:
+        covered = [sortd[c] == SENTINEL for c in caps[:-1]]
+        sel = jnp.int32(len(caps) - 1)
+        for i in range(len(caps) - 2, -1, -1):
+            sel = jnp.where(covered[i], jnp.int32(i), sel)
+        kmin, binwin = jax.lax.switch(
+            sel, [make_branch(c) for c in caps], None
+        )
     return kmin, binwin, ovf
 
 
@@ -626,7 +712,7 @@ def _pad_rays(ro, rd, t1):
 
 
 def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
-                interpret=False, streamed=False):
+                interpret=False, streamed=False, exact_t=True):
     """Binned closest hit: same contract as pallas_cluster.closest_hit
     (hit, t, face), including exact f32 t (the in-kernel <= 2^-14 packed
     rounding is undone at the boundary via exact_t_for_slot). Needs no
@@ -658,7 +744,7 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
     if streamed:
         kmin, binwin = _binned_core_streamed(
             cs, ro_p, rd_p, t1v, float(t0), watertight, interpret,
-            _w_slots())
+            _w_slots(streamed=True))
         kmin, binwin = kmin[:n], binwin[:n]
         ovf = None                        # rounds already made it exact
     else:
@@ -672,9 +758,13 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
     slot = jnp.where(
         hit, binwin * BIN_TRIS + jnp.bitwise_and(kmin, _LOW), -1
     )
-    from pyrenderer_tpu.accel.clusters import exact_t_for_slot
+    if exact_t:
+        # undo the packed <= 2^-14 rounding; exact_t=False skips the
+        # 9-gather re-derivation for callers that re-derive hit geometry
+        # themselves (the integrator does)
+        from pyrenderer_tpu.accel.clusters import exact_t_for_slot
 
-    t = exact_t_for_slot(cs, slot, ro, rd, t)   # undo the packed rounding
+        t = exact_t_for_slot(cs, slot, ro, rd, t)
     face = slot_to_face(cs, slot).astype(jnp.int32)
     if streamed:
         return hit, jnp.where(hit, t, 0.0), face
@@ -684,7 +774,8 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
 
         t1r = jnp.where(ovf, t1v[:n], 0.0)
         return pc.closest_hit(cs, ro, rd, t0, t1r, sort=False,
-                              watertight=watertight, interpret=interpret)
+                              watertight=watertight, interpret=interpret,
+                              exact_t=exact_t)
 
     def no_residual(_):
         return (
@@ -716,7 +807,8 @@ def occluded(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
     if streamed:
         ro_p, rd_p, t1v, n = _pad_rays(ro, rd, t1)
         kmin, _ = _binned_core_streamed(cs, ro_p, rd_p, t1v, float(t0),
-                                        watertight, interpret, _w_slots())
+                                        watertight, interpret,
+                                        _w_slots(streamed=True))
         return kmin[:n] < MISS_KEY
     _check_vmem(cs, "binned")
     ro_p, rd_p, t1v, n = _pad_rays(ro, rd, t1)

@@ -259,19 +259,67 @@ def _leaf_mt_chunk(blk, oc, dc, t0, t_lim):
     return _key_min(jnp.where(ok, t, MISS_T))
 
 
-def _leaf_wt_chunk(blk, oc, dc, t0, t_lim):
+def _wt_constants(dc):
+    """Per-ray (R, 1) permutation/shear constants of the watertight test
+    — they depend only on the ray DIRECTION, so callers that evaluate
+    many leaves against the same rays (the sweep visits ~89 leaves per
+    sorted tile) compute them ONCE per tile instead of per visit."""
+    dx, dy, dz = dc
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    domx = (adx >= ady) & (adx >= adz)                    # (R, 1) kz == 0
+    domy = ~domx & (ady >= adz)                           # kz == 1
+
+    def sel(px, py, pz):
+        return jnp.where(domx, px, jnp.where(domy, py, pz))
+
+    # permuted ray direction: new z = dominant axis, x/y the cyclic others
+    d_z = sel(dx, dy, dz)
+    d_x = sel(dy, dz, dx)
+    d_y = sel(dz, dx, dy)
+    sx = -d_x / d_z
+    sy = -d_y / d_z
+    sz = 1.0 / d_z
+    return domx, domy, sx, sy, sz
+
+
+# Edge-function fallback policy for the watertight leaf. The trigger is
+# |e| <= (|p1| + |p2|) * 2^-22 (core/watertight._EDGE_REL_TOL), NOT
+# e == 0: exact-zero detection is destroyed by fma contraction — XLA/
+# Mosaic may fuse the product difference so an exactly-cancelling pair
+# leaves a +/-1-ulp residue instead of 0.0, and whether that happens
+# depends on the SURROUNDING code (measured round 5: the round-4 kernel
+# only passed the shared-edge leak hunt because the dop operand reuse
+# happened to suppress the contraction). Modes:
+#   "always" — compensated recomputation evaluated densely, selected
+#              under the threshold (matches core/watertight.py edge_fn);
+#   "guard"  — ONE any-under-threshold scalar check per leaf skips the
+#              whole ~90-op compensated evaluation when no lane is near
+#              cancellation (the common case); taken branches match
+#              "always";
+#   "off"    — no fallback (perf-bound measurement ONLY: loses the
+#              watertight guarantee on exactly-grazed edges).
+# Module-level for the perf harness's A/B. Chip A/B (round 5, sorted 32k
+# shuffled, terrain100k): MT 4.15 ms, always 5.19 (1.25x), guard 5.51
+# (1.33x — the per-leaf any() scalar sync costs more than the dense
+# compensation it skips), off 4.57 (1.10x bound) -> "always" is both the
+# fastest correct mode and bit-stable against the CPU oracle.
+_WT_FALLBACK = "always"
+
+
+def _leaf_wt_chunk(blk, oc, dc, t0, t_lim, consts=None):
     """(R rays, 128 tris) PBRT shear WATERTIGHT test — the leak-free
     alternative to _leaf_mt_chunk (same contract), selected by
     `watertight=True` / RenderConfig.cluster_watertight.
 
     Algorithm of reference mathematics/intersection_taichi.py:94-161 in
     the kernel's dual layout: per-ray permutation/shear constants are
-    (R, 1) columns, triangle vertices are (1, 128) lane rows, and the
+    (R, 1) columns (precomputable once per tile — `consts` from
+    _wt_constants), triangle vertices are (1, 128) lane rows, and the
     axis permutation is two nested selects per component (core/
     watertight.py _permute does the same outside the kernel). The exact-
     zero edge-function fallback is the compensated difference-of-products
-    (core/watertight.py diff_of_products), pure f32. ~3x the ALU of the
-    plain Moeller-Trumbore leaf.
+    (core/watertight.py diff_of_products), pure f32, applied per
+    _WT_FALLBACK.
 
     Documented divergence from the reference: intersection_taichi.py:141
     rejects |det| <= 1e-4 and recomputes ALL THREE edge functions in f64
@@ -288,22 +336,12 @@ def _leaf_wt_chunk(blk, oc, dc, t0, t_lim):
     v0 = (blk[0:1, :], blk[1:2, :], blk[2:3, :])
     v1 = tuple(v0[a] + blk[3 + a:4 + a, :] for a in range(3))   # v0 + e1
     v2 = tuple(v0[a] + blk[6 + a:7 + a, :] for a in range(3))   # v0 + e2
-    dx, dy, dz = dc
-    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-    domx = (adx >= ady) & (adx >= adz)                    # (R, 1) kz == 0
-    domy = ~domx & (ady >= adz)                           # kz == 1
+    domx, domy, sx, sy, sz = consts if consts is not None else \
+        _wt_constants(dc)
 
     def sel(px, py, pz):
         """Component kz of (px, py, pz) per ray."""
         return jnp.where(domx, px, jnp.where(domy, py, pz))
-
-    # permuted ray direction: new z = dominant axis, x/y the cyclic others
-    d_z = sel(dx, dy, dz)
-    d_x = sel(dy, dz, dx)
-    d_y = sel(dz, dx, dy)
-    sx = -d_x / d_z
-    sy = -d_y / d_z
-    sz = 1.0 / d_z
 
     def shear(v):
         tx = v[0] - oc[0]                                 # (R, 128)
@@ -318,12 +356,35 @@ def _leaf_wt_chunk(blk, oc, dc, t0, t_lim):
     x1, y1, z1 = shear(v1)
     x2, y2, z2 = shear(v2)
 
-    e0 = x1 * y2 - y1 * x2
-    e1 = x2 * y0 - y2 * x0
-    e2 = x0 * y1 - y0 * x1
-    e0 = jnp.where(e0 == 0.0, diff_of_products(x1, y2, y1, x2), e0)
-    e1 = jnp.where(e1 == 0.0, diff_of_products(x2, y0, y2, x0), e1)
-    e2 = jnp.where(e2 == 0.0, diff_of_products(x0, y1, y0, x1), e2)
+    from pyrenderer_tpu.core.watertight import _EDGE_REL_TOL
+
+    pairs = ((x1, y2, y1, x2), (x2, y0, y2, x0), (x0, y1, y0, x1))
+    es, lows = [], []
+    for a, b, c, d in pairs:
+        p1 = a * b
+        p2 = c * d
+        e = p1 - p2
+        es.append(e)
+        lows.append(
+            jnp.abs(e) <= (jnp.abs(p1) + jnp.abs(p2)) * _EDGE_REL_TOL
+        )
+    e0, e1, e2 = es
+
+    def compensate(es):
+        return tuple(
+            jnp.where(lo, diff_of_products(a, b, c, d), e)
+            for e, lo, (a, b, c, d) in zip(es, lows, pairs)
+        )
+
+    if _WT_FALLBACK == "always":
+        e0, e1, e2 = compensate((e0, e1, e2))
+    elif _WT_FALLBACK == "guard":
+        # one vector->scalar any() per leaf; the ~90-op compensated
+        # evaluation only runs when some lane is near cancellation
+        any_low = jnp.any(lows[0] | lows[1] | lows[2])
+        e0, e1, e2 = jax.lax.cond(
+            any_low, compensate, lambda es: es, (e0, e1, e2)
+        )
 
     mixed = ((e0 < 0) | (e1 < 0) | (e2 < 0)) & ((e0 > 0) | (e1 > 0) | (e2 > 0))
     det = e0 + e1 + e2
@@ -332,10 +393,13 @@ def _leaf_wt_chunk(blk, oc, dc, t0, t_lim):
     return _key_min(jnp.where(ok, t, MISS_T))
 
 
-def _leaf_reduce(tri_ref, j, rcol, t0, t_lim_col, watertight):
+def _leaf_reduce(tri_ref, j, rcol, t0, t_lim_col, watertight,
+                 wt_consts=None):
     """Full 128-ray leaf for cluster j: (128 rays x 128 tris) at full
     vector width, immediately reduced to the (128, 1) packed key min
-    (t bits | winning lane).
+    (t bits | winning lane). wt_consts: per-tile precomputed watertight
+    shear constants (_wt_constants) — hoisted by the sweep so ~89 visits
+    per sorted tile don't each re-derive them.
 
     Measured on-chip (perf/RESULTS.md): the full-width evaluation in a
     slim while-loop costs ~0.8 us; a 16-chunk (8, 128) "register-
@@ -343,10 +407,11 @@ def _leaf_reduce(tri_ref, j, rcol, t0, t_lim_col, watertight):
     shapes fine and the chunking only multiplied bookkeeping.
     """
     blk = tri_ref[pl.ds(j * TRI_ROWS, TRI_ROWS), :]       # (16, 128)
-    f = _leaf_wt_chunk if watertight else _leaf_mt_chunk
     oc = (rcol[:, 0:1], rcol[:, 1:2], rcol[:, 2:3])
     dc = (rcol[:, 3:4], rcol[:, 4:5], rcol[:, 5:6])
-    return f(blk, oc, dc, t0, t_lim_col)                  # (128, 1)
+    if watertight:
+        return _leaf_wt_chunk(blk, oc, dc, t0, t_lim_col, consts=wt_consts)
+    return _leaf_mt_chunk(blk, oc, dc, t0, t_lim_col)     # (128, 1)
 
 
 def _bitw32():
@@ -417,9 +482,14 @@ def _closest_kernel(n_groups, t0, watertight, sub, budget, resume,
         smask = _box_slab(super_ref[...], o, inv, t0, t1_eff)
         words = _pack_bits(smask, bitw_ref[...], n_groups)
 
+        wt_consts = _wt_constants(
+            (rcol[:, 3:4], rcol[:, 4:5], rcol[:, 5:6])
+        ) if watertight else None                         # once per tile
+
         def leaf(j, t_best, slot_best):
             kmin = _leaf_reduce(
-                tri_ref, j, rcol, t0, jnp.minimum(t_best, t1c), watertight
+                tri_ref, j, rcol, t0, jnp.minimum(t_best, t1c), watertight,
+                wt_consts,
             )                                             # (128, 1) keys
             t_new = jax.lax.bitcast_convert_type(
                 jnp.bitwise_and(kmin, ~jnp.int32(127)), jnp.float32
@@ -518,6 +588,10 @@ def _anyhit_kernel(n_groups, t0, watertight, sub, dummy_sid, order_smem,
         smask = _box_slab(super_ref[...], o, inv, t0, t1)
         words = _pack_bits(smask, bitw_ref[...], n_groups)
 
+        wt_consts = _wt_constants(
+            (rcol[:, 3:4], rcol[:, 4:5], rcol[:, 5:6])
+        ) if watertight else None                         # once per tile
+
         def finish_visit(cbits, j_of_bit, occ):
             # occ lives in column form (the leaf's output space); occluded
             # rays contribute nothing further because their leaf t-window
@@ -528,7 +602,7 @@ def _anyhit_kernel(n_groups, t0, watertight, sub, dummy_sid, order_smem,
                 c = _ctz_low(cb & -cb)
                 kmin = _leaf_reduce(
                     tri_ref, j_of_bit(c), rcol, t0,
-                    jnp.where(occ > 0, t0, t1c), watertight,
+                    jnp.where(occ > 0, t0, t1c), watertight, wt_consts,
                 )
                 return cb & (cb - 1), jnp.maximum(
                     occ, (kmin < MISS_MASKED_BITS).astype(jnp.int32)
@@ -786,7 +860,8 @@ def _prepare(cs, ro, rd, t1, sort):
 
 
 def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
-                watertight=False, interpret=False, rounds=1, budget=0):
+                watertight=False, interpret=False, rounds=1, budget=0,
+                exact_t=True):
     """Wavefront closest hit. ro, rd (N, 3); t1 scalar or (N,).
 
     Returns (hit (N,) bool, t (N,) f32, face (N,) i32 original ids) — the
@@ -863,9 +938,13 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
         t, slot = t[inv], slot[inv]
     hit = slot >= 0
     face = slot_to_face(cs, slot)
-    from pyrenderer_tpu.accel.clusters import exact_t_for_slot
+    if exact_t:
+        # undo the packed <= 2^-17 rounding at the public boundary;
+        # exact_t=False skips the 9-gather re-derivation for callers that
+        # re-derive the hit geometry themselves (the integrator does)
+        from pyrenderer_tpu.accel.clusters import exact_t_for_slot
 
-    t = exact_t_for_slot(cs, slot, ro, rd, t)   # undo the packed rounding
+        t = exact_t_for_slot(cs, slot, ro, rd, t)
     return hit, jnp.where(hit, t, 0.0), face.astype(jnp.int32)
 
 

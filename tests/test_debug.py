@@ -52,3 +52,24 @@ def test_points_inside_box(log):
     assert (pts[:, 0] > -1.01).all() and (pts[:, 0] < 1.01).all()
     assert (pts[:, 1] > -0.01).all() and (pts[:, 1] < 2.01).all()
     assert (pts[:, 2] > -1.01).all() and (pts[:, 2] < 1.01).all()
+
+
+def test_write_html_viewer(log, tmp_path, cornell_path):
+    """Self-contained interactive viewer: one HTML file, valid embedded
+    JSON payload, no external resources (works offline — the headless
+    replacement for the reference's open3d windows)."""
+    import json
+    import re
+
+    scene, _, _ = load_tungsten(cornell_path)
+    out = tmp_path / "paths.html"
+    log.write_html(str(out), scene=scene)
+    html = out.read_text()
+    assert "http://" not in html and "https://" not in html  # no CDN
+    m = re.search(r"const DATA = (\{.*?\});\n", html, re.S)
+    data = json.loads(m.group(1))
+    assert len(data["paths"]) >= 1
+    assert all(len(p) >= 2 for p in data["paths"])
+    assert len(data["wire"]) > 0 and data["radius"] > 0
+    # paths start at the camera
+    np.testing.assert_allclose(data["paths"][0][0], [0, 1, 6.8], atol=1e-4)
