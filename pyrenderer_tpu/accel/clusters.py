@@ -49,9 +49,14 @@ from pyrenderer_tpu.accel.bvh import GAMMA2_3
 LANE_TRIS = 128   # triangles per cluster = VPU lane width
 GROUP = 16        # clusters per supercluster
 TRI_ROWS = 16     # rows per cluster in the packed (K*16, 128) table (9 used)
-BIN = 4           # clusters per BIN (kernels/pallas_binned pair granularity:
-                  # 512 triangles — adjacent clusters are median-split
-                  # siblings, so a bin's box is tight)
+BIN = int(__import__("os").environ.get("PYRENDERER_BIN", "4"))
+                  # clusters per BIN (kernels/pallas_binned pair granularity:
+                  # default 4 x 128 = 512 triangles — adjacent clusters are
+                  # median-split siblings, so a bin's box is tight). Env
+                  # knob (import-time, perf harness only): PYRENDERER_BIN=1
+                  # measures the 128-triangle two-level-stream granularity
+                  # (perf/binnedgran.py) — a ClusterScene must be built and
+                  # traversed under the SAME value
 
 MISS_T = 3.0e38
 
@@ -111,6 +116,63 @@ class ClusterScene:
         rows of child_box — a safe no-op second operand for the kernel's
         pair-peeled visits."""
         return self.n_clusters // GROUP
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClusterChunks:
+    """A VMEM-oversize scene as a tuple of resident-sized ClusterScenes.
+
+    Round-5 capacity A/B (perf/chunkedsweep.py, chip, same session):
+    sweeping the chunks SEQUENTIALLY with the running per-ray t-bound
+    carried between them beats the HBM-streamed binned traversal 2.9x at
+    330k tris (3.7 vs 10.9 ms / 32k shuffled rays) and 4.1x at 500k
+    (3.9 vs 16.1 ms), exact hit agreement — each chunk's tables stay
+    VMEM-resident during its sweep, so the only extra cost vs a (refused)
+    monolithic sweep is the per-chunk dense prepass, while streaming pays
+    HBM latency per leaf. Chunks are padded to EQUAL triangle counts
+    (degenerate zero faces, same trick as dist/geometry
+    build_shard_clusters) so every chunk shares ONE compiled kernel.
+    """
+
+    chunks: tuple   # tuple[ClusterScene, ...], equal shapes
+    faces_per_chunk: int = dataclasses.field(
+        metadata=dict(static=True), default=0
+    )               # chunk i holds global faces [i*fpc, (i+1)*fpc)
+
+    @property
+    def n_clusters(self) -> int:
+        """Total clusters (drives the sort/watertight auto policies)."""
+        return sum(c.n_clusters for c in self.chunks)
+
+
+# Largest per-chunk triangle count: ~180k tris of cluster tables is
+# ~11.9 MiB, safely under the measured ~14.5 MiB v5e VMEM budget
+# (kernels/pallas_cluster._VMEM_LIMIT_MB).
+CHUNK_MAX_TRIS = 180_000
+
+
+def build_chunked_clusters(vertices, faces,
+                           max_tris: int = CHUNK_MAX_TRIS):
+    """Host-side build for VMEM-oversize scenes: contiguous face ranges
+    (spatially coherent for typical mesh orderings; each chunk's own
+    median split handles the rest), one resident ClusterScene per chunk,
+    padded to equal counts so all chunks compile once."""
+    f = np.asarray(faces)
+    t = f.shape[0]
+    n_chunks = -(-t // max_tris)
+    if n_chunks <= 1:
+        return build_clusters(vertices, faces)
+    per = -(-t // n_chunks)
+    chunks = []
+    for i in range(n_chunks):
+        fl = f[i * per:(i + 1) * per]
+        pad = per - fl.shape[0]
+        if pad:
+            # zero faces: v0 with e1 = e2 = 0 -> det == 0, can never hit
+            fl = np.concatenate([fl, np.zeros((pad, 3), f.dtype)])
+        chunks.append(build_clusters(vertices, fl))
+    return ClusterChunks(chunks=tuple(chunks), faces_per_chunk=per)
 
 
 def _median_split_order(cent, leaf_size=LANE_TRIS):

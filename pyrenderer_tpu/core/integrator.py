@@ -171,8 +171,13 @@ def resolve_backend(backend: str, n_tris: int, accel=None) -> str:
                 stacklevel=2,
             )
         return default_backend()
-    from pyrenderer_tpu.accel.clusters import ClusterScene
+    from pyrenderer_tpu.accel.clusters import ClusterChunks, ClusterScene
 
+    if isinstance(accel, ClusterChunks):
+        # VMEM-oversize scene pre-split into resident chunks: the
+        # sequential chunked sweep beats the HBM-streamed path 2.9-4.1x
+        # (perf/chunkedsweep.py, chip) — the capacity default
+        return "cluster_chunked"
     if isinstance(accel, ClusterScene):
         b = "cluster_binned" if _cluster_impl_binned() else "cluster"
         if jax.default_backend() == "tpu":
@@ -180,11 +185,11 @@ def resolve_backend(backend: str, n_tris: int, accel=None) -> str:
 
             kind = "binned" if b == "cluster_binned" else "sweep"
             if not scene_fits_vmem(accel, kind):
-                # past the ~14.5 MiB VMEM budget (~220k triangles) the
+                # a MONOLITHIC oversize ClusterScene (caller-built): the
                 # resident kernels cannot compile — route to the
                 # HBM-streamed binned traversal, which has no scene
-                # ceiling (the reference's device-global-memory scenes
-                # never had one either)
+                # ceiling. (maybe_build_accel builds ClusterChunks for
+                # oversize scenes instead, which routes above.)
                 return "cluster_streamed"
         return b
     return "bvh"
@@ -322,7 +327,7 @@ class TraceTables(object):
         elif backend == "matmul":
             self.tri_table = isect.build_tri_matrix(scene)
         elif backend in ("bvh", "cluster", "cluster_binned",
-                         "cluster_streamed"):
+                         "cluster_streamed", "cluster_chunked"):
             if accel is None:
                 raise ValueError(
                     f"backend='{backend}' needs a prebuilt accelerator "
@@ -364,10 +369,12 @@ def _closest(scene, tables, cfg, ro, rd, t1, sort=None):
                                   cfg, tables.accel),
                               streamed=(b == "cluster_streamed"),
                               exact_t=False)
-    if b == "cluster":
+    if b in ("cluster", "cluster_chunked"):
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
-        return pc.closest_hit(
+        fn = pc.closest_hit_chunked if b == "cluster_chunked" else \
+            pc.closest_hit
+        return fn(
             tables.accel, ro, rd, cfg.t_min, t1,
             sort=resolve_cluster_sort(cfg, tables.accel) if sort is None
             else sort,
@@ -405,10 +412,11 @@ def _any_hit(scene, tables, cfg, ro, rd, t1, sort=None):
                            watertight=resolve_cluster_watertight(
                                cfg, tables.accel),
                            streamed=(b == "cluster_streamed"))
-    if b == "cluster":
+    if b in ("cluster", "cluster_chunked"):
         from pyrenderer_tpu.kernels import pallas_cluster as pc
 
-        return pc.occluded(
+        fn = pc.occluded_chunked if b == "cluster_chunked" else pc.occluded
+        return fn(
             tables.accel, ro, rd, cfg.t_min, t1,
             sort=resolve_cluster_sort(cfg, tables.accel) if sort is None
             else sort,
@@ -738,7 +746,14 @@ def maybe_build_accel(scene: Scene, backend: str, accel=None):
     n_tris = scene.faces.shape[0]
     if backend == "auto" and n_tris > AUTO_BRUTE_MAX_TRIS:
         backend = accel_backend()
-    if backend in ("cluster", "cluster_binned", "cluster_streamed"):
+    if backend in ("cluster", "cluster_chunked"):
+        # oversize scenes get VMEM-resident chunks (the measured-fastest
+        # capacity path); build_chunked_clusters returns a plain
+        # ClusterScene when one chunk suffices
+        from pyrenderer_tpu.accel.clusters import build_chunked_clusters
+
+        return build_chunked_clusters(scene.vertices, scene.faces)
+    if backend in ("cluster_binned", "cluster_streamed"):
         from pyrenderer_tpu.accel.clusters import build_clusters
 
         return build_clusters(scene.vertices, scene.faces)

@@ -948,6 +948,52 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, sort=False,
     return hit, jnp.where(hit, t, 0.0), face.astype(jnp.int32)
 
 
+def closest_hit_chunked(cc, ro, rd, t0, t1, sort=False, watertight=False,
+                        interpret=False, rounds=1, budget=0, exact_t=True):
+    """Closest hit over a ClusterChunks scene: sweep each VMEM-resident
+    chunk sequentially, carrying the running per-ray best t as the next
+    chunk's bound — far geometry culls against near hits exactly like
+    the in-sweep ordered traversal, just at chunk granularity.
+
+    Chip A/B (perf/chunkedsweep.py): beats the HBM-streamed binned path
+    2.9-4.1x at 330k-500k tris, exact agreement. Each chunk call uses
+    exact_t internally (~0.6 ms/chunk at 262k rays) so the carried bound
+    is exact and the returned t is exact regardless of `exact_t`.
+    Returned faces are global ids (chunk faces are contiguous ranges —
+    accel/clusters.build_chunked_clusters — offset per chunk)."""
+    n = ro.shape[0]
+    t_best = jnp.full((n,), MISS_T, jnp.float32)
+    face_best = jnp.zeros((n,), jnp.int32)
+    hit_any = jnp.zeros((n,), bool)
+    for i, cs in enumerate(cc.chunks):
+        bound = jnp.where(hit_any, jnp.minimum(t_best, t1), t1)
+        h, t, f = closest_hit(cs, ro, rd, t0, bound, sort=sort,
+                              watertight=watertight, interpret=interpret,
+                              rounds=rounds, budget=budget, exact_t=True)
+        better = h & (t < jnp.where(hit_any, t_best, jnp.inf))
+        t_best = jnp.where(better, t, t_best)
+        face_best = jnp.where(
+            better, f + jnp.int32(i * cc.faces_per_chunk), face_best
+        )
+        hit_any = hit_any | h
+    return hit_any, jnp.where(hit_any, t_best, 0.0), face_best
+
+
+def occluded_chunked(cc, ro, rd, t0, t1, sort=False, watertight=False,
+                     interpret=False):
+    """Any-hit over ClusterChunks: chunks sweep sequentially; rays
+    already occluded trace the next chunk with t1 = 0 (every tile-level
+    cull rejects them for free)."""
+    n = ro.shape[0]
+    occ = jnp.zeros((n,), bool)
+    for cs in cc.chunks:
+        t1_i = jnp.where(occ, 0.0, jnp.broadcast_to(t1, (n,)).astype(
+            jnp.float32))
+        occ = occ | occluded(cs, ro, rd, t0, t1_i, sort=sort,
+                             watertight=watertight, interpret=interpret)
+    return occ
+
+
 def occluded(cs: ClusterScene, ro, rd, t0, t1, sort=False, watertight=False,
              interpret=False):
     """Any-hit shadow query: True where some triangle lies in (t0, t1).

@@ -43,7 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--backend",
         choices=["auto", "pallas", "matmul", "brute", "bvh", "cluster",
-                 "cluster_binned", "cluster_streamed", "watertight"],
+                 "cluster_binned", "cluster_streamed", "cluster_chunked",
+                 "watertight"],
         default="auto",
         help="intersection backend (auto selects by platform and triangle count)",
     )
