@@ -113,8 +113,17 @@ def _cluster_impl_binned() -> bool:
 
 
 def resolve_cluster_sort(cfg: RenderConfig, accel) -> bool:
-    """Concrete sort decision for a cluster query ("auto" -> by scene size)."""
+    """Concrete sort decision for a cluster query ("auto" -> by scene
+    size; chunked scenes -> off). For ClusterChunks the per-query
+    coherence sort runs once but each chunk re-pays its benefit setup
+    while the sorted-order gain dilutes over k prepasses — chip A/B
+    (round 5, end-to-end): terrain330k 1.46 nosort vs 1.31 sorted,
+    terrain500k 1.25 vs 0.97 -> auto = no sort for chunks."""
     if cfg.cluster_sort == "auto":
+        from pyrenderer_tpu.accel.clusters import ClusterChunks
+
+        if isinstance(accel, ClusterChunks):
+            return False
         return accel is not None and accel.n_clusters >= AUTO_SORT_MIN_CLUSTERS
     return bool(cfg.cluster_sort)
 
