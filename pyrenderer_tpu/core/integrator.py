@@ -163,8 +163,17 @@ def resolve_backend(backend: str, n_tris: int, accel=None) -> str:
     whole-table path (correct, just O(T)) — with a loud warning, because at
     ~100k triangles the whole-table kernels' (9, T) SMEM operand will
     refuse to compile with no hint of the real cause."""
-    if backend == "cluster" and _cluster_impl_binned():
-        return "cluster_binned"
+    if backend in ("cluster", "cluster_chunked"):
+        from pyrenderer_tpu.accel.clusters import ClusterChunks
+
+        if isinstance(accel, ClusterChunks):
+            # maybe_build_accel splits oversize scenes into chunks even
+            # under an explicit "cluster" request — the monolithic sweep
+            # cannot compile for them
+            return "cluster_chunked"
+        if backend == "cluster" and _cluster_impl_binned():
+            return "cluster_binned"
+        return "cluster"
     if backend != "auto":
         return backend
     if n_tris <= AUTO_BRUTE_MAX_TRIS or accel is None:

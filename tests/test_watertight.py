@@ -269,3 +269,52 @@ def test_cluster_watertight_cpu_fallback_matches_kernel():
     occ_k = np.asarray(occluded(cs, ro, rd, 1e-5, 10.0, watertight=True,
                                 interpret=True))
     assert occ_cpu.all() and np.array_equal(occ_cpu, occ_k)
+
+
+def test_shared_edge_no_leak_under_jit_and_fusion():
+    """The COMPILED (jitted) watertight test must be leak-free too.
+
+    Round-5 regression guard: the e == 0.0 fallback trigger of rounds
+    1-4 was fusion-dependent — under XLA jit the edge-function mul/sub
+    can contract into an fma, an exactly-cancelling pair then leaves a
+    +/-1-ulp residue instead of 0.0, and the compensated fallback never
+    fires (2043/4096 on-edge rays leaked in a jitted leaf whose fallback
+    code had been moved out of line). The eager-mode leak hunts above
+    cannot catch that class — eager never fuses. The fix is the relative
+    -threshold trigger (core/watertight._EDGE_REL_TOL); this test pins
+    it under jit, including a variant compiled WITHOUT the compensation
+    operand-reuse that accidentally suppressed the contraction before.
+    """
+    from pyrenderer_tpu.core import watertight as wt
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    v = jnp.asarray(verts)
+    v0 = v[jnp.asarray(faces[:, 0])]
+    v1 = v[jnp.asarray(faces[:, 1])]
+    v2 = v[jnp.asarray(faces[:, 2])]
+    n = 4096
+    ts = np.linspace(1e-4, 1.0 - 1e-4, n).astype(np.float32)
+    ro = jnp.asarray(
+        np.stack([ts, ts, np.ones(n, np.float32)], axis=1))
+    rd = jnp.asarray(
+        np.broadcast_to(np.asarray([0.0, 0.0, -1.0], np.float32), (n, 3)))
+
+    valid, t = jax.jit(wt.watertight_terms)(v0, v1, v2, ro, rd)
+    hit = np.asarray(valid & (t > 1e-5) & (t < 10.0)).any(axis=1)
+    assert hit.all(), f"jitted watertight leaked {(~hit).sum()}/{n}"
+
+    # sanity: the raw (fallback-free) product difference under jit is NOT
+    # reliably zero on these exactly-cancelling rays — the very hazard
+    # the threshold exists for. If a future XLA stops contracting, this
+    # canary goes vacuous (zeros), which is fine.
+    def raw_edges(ro):
+        x0, y0 = -ro[:, 0], -ro[:, 1]
+        x2, y2 = 1.0 - ro[:, 0], 1.0 - ro[:, 1]
+        return x2 * y0 - y2 * x0   # the diagonal edge function of face 0
+
+    e_jit = np.asarray(jax.jit(raw_edges)(ro))
+    e_eager = np.asarray(raw_edges(ro))
+    assert (e_eager == 0).all()   # exact cancellation by construction
