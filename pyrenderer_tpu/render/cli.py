@@ -71,6 +71,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument(
+        "--debug-paths", metavar="OUT.html",
+        help="instead of rendering, trace a coarse pixel grid recording "
+        "every bounce and write a self-contained interactive HTML viewer "
+        "(scene wireframe + ray/shadow polylines) — the reference's "
+        "`main.py -d` open3d mode, headless (debug/logger.py; also "
+        "writes OUT.ply next to it)",
+    )
+    p.add_argument(
+        "--debug-rays", type=int, default=49,
+        help="ray count for --debug-paths (a sqrt-grid of pixels)",
+    )
     return p
 
 
@@ -114,6 +126,26 @@ def main(argv=None) -> int:
     if args.preview_file is not None:
         overrides["preview_file"] = args.preview_file
     cfg = cfg.replace(**overrides)
+
+    if args.debug_paths:
+        import numpy as np
+
+        from pyrenderer_tpu.debug.logger import log_paths
+
+        w, h = cfg.resolution or camera.resolution
+        camera = camera._replace(resolution=(w, h))
+        side = max(1, int(args.debug_rays ** 0.5))
+        xs = (np.arange(side) + 0.5) * (w / side)
+        ys = (np.arange(side) + 0.5) * (h / side)
+        px, py = np.meshgrid(xs.astype(np.int32), ys.astype(np.int32))
+        log = log_paths(scene, camera, cfg, px.reshape(-1), py.reshape(-1),
+                        backend=args.backend)
+        log.write_html(args.debug_paths, scene=scene)
+        ply = args.debug_paths.rsplit(".", 1)[0] + ".ply"
+        log.write_ply(ply)
+        print(f"wrote {args.debug_paths} and {ply} "
+              f"({side * side} paths)", file=sys.stderr)
+        return 0
 
     film = None
     if args.resume:

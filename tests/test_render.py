@@ -312,3 +312,22 @@ def test_cli_tonemap_mode(cornell_path, tmp_path):
     assert rc == 0 and os.path.exists(str(tmp_path / "y.png"))
     # missing --input is a clean usage error
     assert main(["tonemap"]) == 2
+
+
+def test_cli_debug_paths(tmp_path, cornell_path):
+    """`--debug-paths` writes the self-contained HTML viewer + PLY instead
+    of rendering (the reference's main.py -d open3d mode, headless)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "paths.html"
+    r = subprocess.run(
+        [sys.executable, "-m", "pyrenderer_tpu.render.cli",
+         str(cornell_path), "--cpu", "--debug-paths", str(out),
+         "--res", "32", "32", "--depth", "3", "--debug-rays", "9"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    html = out.read_text()
+    assert "const DATA" in html and "http" not in html.split("DOCTYPE")[1][:50]
+    assert (tmp_path / "paths.ply").read_text().startswith("ply")
