@@ -264,6 +264,12 @@ def _leaf_kernel(bps, t0, watertight, ids_ref, rcol_ref, tri_ref, out_ref):
 
             def body(c):
                 m, rem, best = c
+                # carry outputs promote back to the carry inputs' varying
+                # axes: under shard_map(check_vma) the kernel-internal
+                # where/min results otherwise come out UNVARYING and the
+                # while_loop rejects the carry (found by running the
+                # compiled kernel inside a checked 1-device chip mesh)
+                cv = vma.args_vma(m, rem, best)
                 cand = jnp.full((RAY_TILE, 1), MISS_KEY, jnp.int32)
                 for ci in range(BIN):
                     blk = tri_ref[
@@ -281,12 +287,16 @@ def _leaf_kernel(bps, t0, watertight, ids_ref, rcol_ref, tri_ref, out_ref):
                 mine = rem == m
                 best = jnp.minimum(best, jnp.where(mine, cand, MISS_KEY))
                 rem = jnp.where(mine, jnp.int32(SENTINEL), rem)
-                return jnp.min(rem), rem, best
+                return (vma.promote(jnp.min(rem), cv),
+                        vma.promote(rem, cv), vma.promote(best, cv))
 
+            # best derives from idr (not a fresh constant) so that under
+            # a vma-checked shard_map it carries the same varying type
+            # the loop body produces (cf. accel/clusters closest_hit_ref)
             init = (
                 jnp.min(idr),
                 idr,
-                jnp.full((RAY_TILE, 1), MISS_KEY, jnp.int32),
+                jnp.full_like(idr, MISS_KEY),
             )
             _, _, best = jax.lax.while_loop(
                 lambda c: c[0] != SENTINEL, body, init
@@ -726,8 +736,16 @@ def closest_hit(cs: ClusterScene, ro, rd, t0, t1, watertight=False,
     NO VMEM scene ceiling (the resident paths cap at ~220k triangles on
     v5e); overflow rays instead keep peeling more candidate bins per
     round until none remain (see the streamed section above). This is
-    the auto-selected path for scenes past the VMEM budget
-    (core.integrator.resolve_backend -> "cluster_streamed").
+    the auto-selected path for caller-built monolithic oversize scenes
+    (core.integrator.resolve_backend -> "cluster_streamed"); chip-
+    verified to compile and run inside a shard_map(check_vma) mesh.
+
+    Known limit: the RESIDENT kernel's distinct-bin while-loop trips a
+    carry-vma inconsistency when compiled inside a checked shard_map
+    (jax 0.9 pallas-in-shard_map typing; probed on chip round 5) — the
+    integrator never routes it there (dist/render remaps cluster_binned
+    to the sweep inside meshes), and standalone/streamed use is
+    unaffected.
 
     Off-TPU (and not interpreting) routes to the pure-JAX oracle like the
     sweep does."""

@@ -176,6 +176,15 @@ def test_pallas_kernels_inside_checked_shard_map(setup):
         h2, t2_, f2 = pc.closest_hit(cs, ro, rd, 1e-5, 1e5, sort=True,
                                      interpret=True)
         occ = pk.occluded(tri_table, ro, rd, 1e-5, 1.0)
+        # NOTE: the RESIDENT binned kernel (pallas_binned, distinct-bin
+        # while loop) is NOT traced here: its while carry trips a vma
+        # inconsistency in jax 0.9's pallas-in-shard_map typing — probed
+        # on the real chip (round 5), not an interpret artifact. The
+        # integrator never routes it inside meshes (dist/render remaps
+        # cluster_binned -> cluster; oversize scenes use cluster_chunked
+        # = the pc kernels traced above). The STREAMED binned kernel was
+        # chip-verified to compile AND run inside a checked 1-device
+        # mesh with exact parity vs its outside-mesh result.
         return h1, t1_, f1, h2, t2_, f2, occ
 
     sharded = partial(
