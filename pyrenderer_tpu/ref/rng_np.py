@@ -12,9 +12,16 @@ import numpy as np
 _ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
 _PARITY = np.uint32(0x1BD11BDA)
 
+# Mirrors rng.N_ROUNDS (same env knob) so oracle parity holds at any
+# setting — see the round-count note in pyrenderer_tpu/rng.py.
+import os as _os  # noqa: E402
 
-def threefry2x32(k0, k1, c0, c1):
-    """Threefry-2x32, 20 rounds, NumPy uint32 semantics."""
+N_ROUNDS = int(_os.environ.get("PYRENDERER_TF_ROUNDS", "20"))
+
+
+def threefry2x32(k0, k1, c0, c1, rounds=None):
+    """Threefry-2x32, N_ROUNDS rounds, NumPy uint32 semantics."""
+    rounds = N_ROUNDS if rounds is None else rounds
     with np.errstate(over="ignore"):
         k0 = np.uint32(k0)
         k1 = np.uint32(k1)
@@ -23,10 +30,12 @@ def threefry2x32(k0, k1, c0, c1):
         ks = (k0, k1, k0 ^ k1 ^ _PARITY)
         x0 = x0 + ks[0]
         x1 = x1 + ks[1]
-        for i in range(5):
-            for r in _ROTATIONS[i % 2]:
+        done = 0
+        for i in range((rounds + 3) // 4):
+            for r in _ROTATIONS[i % 2][: min(4, rounds - done)]:
                 x0 = (x0 + x1).astype(np.uint32)
                 x1 = (((x1 << np.uint32(r)) | (x1 >> np.uint32(32 - r))) ^ x0).astype(np.uint32)
+            done += 4
             x0 = (x0 + ks[(i + 1) % 3]).astype(np.uint32)
             x1 = (x1 + ks[(i + 2) % 3] + np.uint32(i + 1)).astype(np.uint32)
     return x0, x1

@@ -44,9 +44,19 @@ _ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
 _PARITY = 0x1BD11BDA
 _U32 = (1 << 32) - 1
 
+# Round count. 20 is Threefry's conservative default; 13 is the smallest
+# count that passes the full BigCrush battery in the Random123 paper
+# (Salmon et al., SC'11, Table 2 — crush-resistance headroom starts at 13
+# for Threefry-2x32). Env knob for A/B measurement; the NumPy oracle
+# (ref/rng_np.py) reads the same env so parity holds at any setting.
+import os as _os
 
-def threefry2x32(k0, k1, c0, c1):
-    """Threefry-2x32 with 20 rounds. All inputs/outputs uint32 arrays."""
+N_ROUNDS = int(_os.environ.get("PYRENDERER_TF_ROUNDS", "20"))
+
+
+def threefry2x32(k0, k1, c0, c1, rounds: int | None = None):
+    """Threefry-2x32 with N_ROUNDS rounds. All inputs/outputs uint32 arrays."""
+    rounds = N_ROUNDS if rounds is None else rounds
     k0 = jnp.asarray(k0, jnp.uint32)
     k1 = jnp.asarray(k1, jnp.uint32)
     x0 = jnp.asarray(c0, jnp.uint32)
@@ -54,10 +64,12 @@ def threefry2x32(k0, k1, c0, c1):
     ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(_PARITY))
     x0 = x0 + ks[0]
     x1 = x1 + ks[1]
-    for i in range(5):
-        for r in _ROTATIONS[i % 2]:
+    done = 0
+    for i in range((rounds + 3) // 4):
+        for r in _ROTATIONS[i % 2][: min(4, rounds - done)]:
             x0 = x0 + x1
             x1 = ((x1 << r) | (x1 >> (32 - r))) ^ x0
+        done += 4
         x0 = x0 + ks[(i + 1) % 3]
         x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
     return x0, x1
