@@ -274,3 +274,40 @@ def test_pallas_kernels_execute_inside_mesh(setup):
             np.where(hh, tt, 0), np.where(hh, t2, 0), rtol=2e-5, atol=1e-6)
         assert float(jnp.mean(jnp.where(hh, ff == f2, True))) > 0.8
     assert bool(jnp.all(occ == o2))
+
+
+def test_sharded_chunked_accel_replicated():
+    """VMEM-oversize composition: a ClusterChunks accel (the round-5
+    capacity default past ~180k tris) replicated through the dp x sp
+    shard_map. Forced to 3 chunks on the 8k-tri terrain via max_tris so
+    the test stays CPU-sized; resolve_backend must route it to
+    "cluster_chunked" inside the mesh and match the single-device chunked
+    render exactly."""
+    from pyrenderer_tpu.accel.clusters import ClusterChunks, build_chunked_clusters
+    from pyrenderer_tpu.core.integrator import render_block, resolve_backend
+    from pyrenderer_tpu.scene.procgen import big_scene_data
+    from pyrenderer_tpu.scene.tungsten import build_scene
+
+    data = big_scene_data("terrain", res=64)
+    scene, camera, cfg = build_scene(data, dtype=np.float32)
+    accel = build_chunked_clusters(scene.vertices, scene.faces, max_tris=4096)
+    assert isinstance(accel, ClusterChunks) and len(accel.chunks) == 3
+    assert resolve_backend("auto", scene.faces.shape[0], accel) == \
+        "cluster_chunked"
+    scene = jax.tree.map(jnp.asarray, scene)
+    camera = camera._replace(resolution=(16, 16))
+    cfg = cfg.replace(max_bounces=2, spp=2, seed=4)
+    w, h = camera.resolution
+    ys, xs = np.mgrid[0:h, 0:w]
+    px = jnp.asarray(xs.reshape(-1), jnp.int32)
+    py = jnp.asarray(ys.reshape(-1), jnp.int32)
+    mesh = make_mesh(8, dp=4, sp=2)
+    got = np.asarray(
+        render_field_sharded(scene, camera, cfg, mesh, px, py, accel=accel)
+    )
+    want = np.asarray(
+        render_block(scene, camera, cfg, cfg.seed, cfg.spp, px, py,
+                     backend="auto", accel=accel)
+    )
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
