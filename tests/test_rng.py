@@ -55,3 +55,34 @@ def test_uniform_streams_decorrelated():
     assert abs(np.corrcoef(u1, u2)[0, 1]) < 0.03
     assert abs(np.corrcoef(u1, u3)[0, 1]) < 0.03
     assert not np.array_equal(u1, u2)
+
+
+def test_threefry_reduced_rounds_parity():
+    """The round-count knob (PYRENDERER_TF_ROUNDS / rounds=) must keep the
+    JAX path and the NumPy oracle bit-identical at non-default counts too
+    (13 = the BigCrush-passing minimum, Salmon et al. SC'11). End-to-end
+    the knob measured inside facility noise (perf/RESULTS.md round 5), so
+    20 stays the default; this pins the parity contract at 13."""
+    import jax
+
+    rs = np.random.RandomState(1)
+    k0 = rs.randint(0, 2**32, 32, dtype=np.uint32)
+    k1 = rs.randint(0, 2**32, 32, dtype=np.uint32)
+    c0 = rs.randint(0, 2**32, 32, dtype=np.uint32)
+    c1 = rs.randint(0, 2**32, 32, dtype=np.uint32)
+    for rounds in (13, 20):
+        a0 = np.empty(32, np.uint32)
+        a1 = np.empty(32, np.uint32)
+        for i in range(32):
+            a0[i], a1[i] = rng_np.threefry2x32(
+                k0[i], k1[i], c0[i], c1[i], rounds=rounds)
+        vec = jax.jit(jax.vmap(
+            lambda a, b, c, d: rng.threefry2x32(a, b, c, d, rounds=rounds)))
+        b0, b1 = vec(jnp.asarray(k0), jnp.asarray(k1),
+                     jnp.asarray(c0), jnp.asarray(c1))
+        assert np.array_equal(a0, np.asarray(b0))
+        assert np.array_equal(a1, np.asarray(b1))
+    # 13-round output differs from 20-round (the knob actually does something)
+    x13 = rng_np.threefry2x32(1, 2, 3, 4, rounds=13)
+    x20 = rng_np.threefry2x32(1, 2, 3, 4, rounds=20)
+    assert (int(x13[0]), int(x13[1])) != (int(x20[0]), int(x20[1]))
