@@ -45,11 +45,19 @@ def _free_port() -> int:
 
 
 def run_processes(n_proc: int, cpu_devices: int, res: int, spp: int,
-                  depth: int, reps: int):
-    """Spawn n_proc workers; return the merged RESULT dict of process 0."""
+                  depth: int, reps: int, pin_cpus: bool = False):
+    """Spawn n_proc workers; return the merged RESULT dict of process 0.
+
+    pin_cpus: give each worker a DISJOINT physical core via taskset
+    (worker pid p -> core p % nproc). Without pinning, every "host"
+    contends for the same cores and the efficiency number measures CPU
+    oversubscription, not the scaling path (the round-4 45% figure). With
+    pinning the baseline runs on 1 core and N processes on N cores —
+    honest weak scaling within what one box can express."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    n_cores = os.cpu_count() or 1
     # worker stdout/stderr go to temp FILES, not pipes: a later worker
     # filling its ~64 KB pipe buffer while process 0 blocks in a collective
     # would deadlock a sequential communicate() drain
@@ -57,7 +65,9 @@ def run_processes(n_proc: int, cpu_devices: int, res: int, spp: int,
     logs = []
     try:
         for pid in range(n_proc):
-            cmd = [
+            cmd = (
+                ["taskset", "-c", str(pid % n_cores)] if pin_cpus else []
+            ) + [
                 sys.executable, "-m", "pyrenderer_tpu.dist.worker", SCENE,
                 "--coordinator", f"localhost:{port}",
                 "--num-processes", str(n_proc), "--process-id", str(pid),
@@ -97,7 +107,7 @@ def multi_process_table(args):
     rows = []
     for n in [1, args.processes]:
         r = run_processes(n, args.cpu_devices, args.res, args.spp,
-                          args.depth, args.reps)
+                          args.depth, args.reps, pin_cpus=args.pin_cpus)
         rows.append((n, r["global_devices"], r["mrays_per_s"], r["time_s"]))
     base = rows[0][2]
     print(f"{'procs':>6s} {'devices':>8s} {'Mrays/s':>10s} {'time(s)':>8s} {'efficiency':>10s}")
@@ -164,6 +174,10 @@ def main():
                    default=int(os.environ.get("SCALE_SPP", "8")))
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--pin-cpus", action="store_true",
+                   help="pin each worker to a disjoint core (taskset) so "
+                        "efficiency measures the scaling path, not core "
+                        "oversubscription")
     args = p.parse_args()
     if args.processes > 1:
         multi_process_table(args)
