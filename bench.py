@@ -14,7 +14,12 @@ Env knobs:
   BENCH_BACKEND auto (default) | pallas | matmul | brute | cluster | ...
   BENCH_SPP     timed full-frame passes (default 16; 4 for large scenes)
   BENCH_RES     resolution (default 1024; 512 for large scenes)
-  BENCH_CHUNK   rays per dispatch chunk (default 2^18)
+  BENCH_CHUNK   rays per dispatch chunk (default 2^16 = a 256x256 Morton
+                screen block; chip-swept round 5: 2^16 beats 2^18 on
+                EVERY scene — cornell +2%, terrain100k +19%, blob82k
+                +16% — because smaller Morton chunks give each 128-ray
+                tile a tighter screen footprint, shrinking the cluster
+                sweep's tile unions; 2^15/2^14 lose the gains back)
   BENCH_ESTIMATOR  reference (default) | pbrt
   BENCH_WATERTIGHT 1 -> cluster backend uses watertight leaves
   BENCH_SORT       0 | 1 | auto (default: sort only for >=32k-tri scenes)
@@ -169,7 +174,7 @@ def main():
 
     res = int(os.environ.get("BENCH_RES", str(def_res)))
     spp = int(os.environ.get("BENCH_SPP", str(def_spp)))
-    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 18)))
+    chunk = int(os.environ.get("BENCH_CHUNK", str(1 << 16)))
     backend = os.environ.get("BENCH_BACKEND", "auto")
 
     # accelerator build runs on host arrays, outside jit

@@ -147,9 +147,12 @@ class ClusterChunks:
 
 
 # Largest per-chunk triangle count: ~180k tris of cluster tables is
-# ~11.9 MiB, safely under the measured ~14.5 MiB v5e VMEM budget
-# (kernels/pallas_cluster._VMEM_LIMIT_MB).
-CHUNK_MAX_TRIS = 180_000
+# ~10.6 MiB of tables per chunk. The v5e scoped-VMEM budget is ~16 MiB
+# and the COMPILER'S stack layout varies with the ray-chunk shape: a
+# 167k-tri chunk compiled at 262144-ray queries but overflowed by 12 KB
+# at 65536-ray queries (chip-probed, round 5) — so the cap leaves ~1 MiB
+# of layout slack below the measured cliff rather than sitting on it.
+CHUNK_MAX_TRIS = 160_000
 
 
 def build_chunked_clusters(vertices, faces,

@@ -79,7 +79,11 @@ class ProgressiveRenderer:
         backend: str = "auto",
         film: Optional[Film] = None,
         accel=None,
-        chunk: int = 1 << 18,
+        # 2^16 rays/dispatch = a 256x256 Morton screen block: chip-swept
+        # (perf/RESULTS.md round 5) to beat 2^18 on every bench scene —
+        # tighter tile screen footprints shrink the cluster sweep's
+        # per-tile supercluster unions (+19% terrain100k, +16% blob82k)
+        chunk: int = 1 << 16,
         report_interval: int = 10,
         on_pass: Optional[Callable[["ProgressiveRenderer"], None]] = None,
     ):
