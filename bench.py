@@ -188,12 +188,13 @@ def main():
                        cluster_budget=int(os.environ.get("BENCH_BUDGET", "8")))
     w, h = camera.resolution
 
-    from pyrenderer_tpu.core.camera import morton_pixel_order
+    from pyrenderer_tpu.core.camera import pixel_order
 
     # Morton pixel order, exactly as render_image traces a real frame: each
     # 128-ray tile is then a compact screen block (coherent primaries)
     ys, xs = np.mgrid[0:h, 0:w]
-    perm, _ = morton_pixel_order(w, h)
+    perm, _ = pixel_order(
+        w, h, os.environ.get("PYRENDERER_PIXEL_ORDER", "morton"))
     xs = jnp.asarray(xs.reshape(-1)[perm], jnp.int32)
     ys = jnp.asarray(ys.reshape(-1)[perm], jnp.int32)
 

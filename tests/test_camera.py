@@ -80,3 +80,30 @@ def test_matches_scalar_oracle(camera):
         ro_n, rd_n = ref.generate_ray(camera, int(xs[i]), int(ys[i]), 5, 9, np.float32)
         np.testing.assert_allclose(np.asarray(ro_j)[i], ro_n, atol=1e-6)
         np.testing.assert_allclose(np.asarray(rd_j)[i], rd_n, atol=1e-6)
+
+
+def test_hilbert_pixel_order():
+    """Hilbert order: a true space-filling curve (every cell once,
+    consecutive cells screen-adjacent on pow2 squares) and a valid
+    permutation on arbitrary rectangles. Chip-measured within noise of
+    Morton end-to-end (perf/RESULTS.md round 5) — kept selectable via
+    core.camera.pixel_order for locality experiments."""
+    import numpy as np
+
+    from pyrenderer_tpu.core.camera import hilbert_pixel_order, pixel_order
+
+    for (w, h) in [(8, 8), (16, 12), (13, 7)]:
+        perm, inv = hilbert_pixel_order(w, h)
+        assert sorted(perm) == list(range(w * h))
+        assert np.array_equal(perm[inv], np.arange(w * h))
+    perm, _ = hilbert_pixel_order(16, 16)
+    ys, xs = np.mgrid[0:16, 0:16]
+    x = xs.reshape(-1)[perm]
+    y = ys.reshape(-1)[perm]
+    step = np.abs(np.diff(x)) + np.abs(np.diff(y))
+    assert step.max() == 1  # perfectly adjacent on a pow2 square
+    p_m, _ = pixel_order(16, 16, "morton")
+    p_h, _ = pixel_order(16, 16, "hilbert")
+    p_r, _ = pixel_order(16, 16, "row")
+    assert not np.array_equal(p_m, p_h)
+    assert np.array_equal(p_r, np.arange(256))
