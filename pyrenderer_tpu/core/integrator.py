@@ -117,8 +117,12 @@ def resolve_cluster_sort(cfg: RenderConfig, accel) -> bool:
     size; chunked scenes -> off). For ClusterChunks the per-query
     coherence sort runs once but each chunk re-pays its benefit setup
     while the sorted-order gain dilutes over k prepasses — chip A/B
-    (round 5, end-to-end): terrain330k 1.46 nosort vs 1.31 sorted,
-    terrain500k 1.25 vs 0.97 -> auto = no sort for chunks."""
+    (round 5, end-to-end, 2^18-ray chunks): terrain330k 1.46 nosort vs
+    1.31 sorted, terrain500k 1.25 vs 0.97 -> auto = no sort for chunks.
+    Re-measured at the round-5 2^16-ray dispatch default: scale-
+    dependent and within ~5-7% both ways (330k 1.47 vs 1.51-1.54
+    sorted, 500k 1.35 vs 1.26 sorted) — nosort kept: simpler and better
+    at the largest scale."""
     if cfg.cluster_sort == "auto":
         from pyrenderer_tpu.accel.clusters import ClusterChunks
 
