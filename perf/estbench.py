@@ -151,9 +151,12 @@ def main():
 
     px = jnp.asarray(rngs.integers(0, 1024, N).astype(np.int32))
     py = jnp.asarray(rngs.integers(0, 1024, N).astype(np.int32))
+    # carry must reach the body through a NON-foldable op: int `* 0` is
+    # algebraically eliminated and the whole body hoists out of the scan
+    # (measured: slope -0.2 ms vs the real 1.4 ms). Couple via sample_id.
     report("camera", slope_time(
         lambda x, c: sum(generate_rays(
-            camera, x + c.astype(jnp.int32) * 0, py, sample, seed
+            camera, x, py, sample + c.astype(jnp.uint32), seed
         )).sum(axis=-1), px))
 
     # full 4-bounce trace: real kernels vs stubbed intersection
@@ -165,9 +168,7 @@ def main():
     report("trace4_full", slope_time(trace4, pixel, ro, rd),
            "(4 bounces incl. 8 kernel calls)")
 
-    stub_tables = TraceTables(scene, cfg, "pallas")
     t_hit = jnp.full((N,), 1.0, jnp.float32)
-    stub_tables.closest_fn = None
 
     class _Stub:
         backend = "custom"
@@ -185,9 +186,6 @@ def main():
         def any_hit_fn(roq, rdq, t1):
             return t1 <= 0
 
-        fetch_face = tables.fetch_face.__func__ if hasattr(
-            tables.fetch_face, "__func__") else None
-
     stub = _Stub()
     stub.fetch_face = lambda idx: lut.fetch_rows(tables.face_data, idx)
 
@@ -199,11 +197,14 @@ def main():
     report("trace4_stub", slope_time(trace4_stub, pixel, ro, rd),
            "(4 bounces, intersection stubbed)")
 
-    # the pallas kernel pair alone, per bounce
+    # the pallas kernel pair alone, per bounce. BOTH calls must depend on
+    # the carry or XLA hoists the invariant one out of the scan (measured:
+    # slopes swinging -0.04..0.79 ms vs a stable 0.41-0.50 when coupled).
     def kpair(roc, rdc, c):
         h, t, f = pk.closest_hit(tables.tri_table, roc + 0 * c, rdc,
                                  cfg.t_min, cfg.t_max)
-        occ = pk.occluded(tables.tri_table, roc, rdc, cfg.t_min, 1.0)
+        occ = pk.occluded(tables.tri_table, roc + 0 * c, rdc,
+                          cfg.t_min, 1.0)
         return t + occ.astype(jnp.float32)
 
     report("kernel_pair", slope_time(kpair, ro, rd),

@@ -48,16 +48,25 @@ def run_processes(n_proc: int, cpu_devices: int, res: int, spp: int,
                   depth: int, reps: int, pin_cpus: bool = False):
     """Spawn n_proc workers; return the merged RESULT dict of process 0.
 
-    pin_cpus: give each worker a DISJOINT physical core via taskset
-    (worker pid p -> core p % nproc). Without pinning, every "host"
+    pin_cpus: give each worker its own core via taskset (worker pid p ->
+    logical core p % os.cpu_count()). Without pinning, every "host"
     contends for the same cores and the efficiency number measures CPU
     oversubscription, not the scaling path (the round-4 45% figure). With
     pinning the baseline runs on 1 core and N processes on N cores —
-    honest weak scaling within what one box can express."""
+    honest weak scaling within what one box can express. Caveats: when
+    n_proc exceeds the core count, workers wrap onto shared cores and
+    the contention artifact returns (warned below); os.cpu_count() counts
+    LOGICAL cores, so on SMT machines two "disjoint" workers may still be
+    hyperthread siblings."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     n_cores = os.cpu_count() or 1
+    if pin_cpus and n_proc > n_cores:
+        print(f"WARNING: --pin-cpus with {n_proc} processes > {n_cores} "
+              "cores: workers will share cores and the efficiency number "
+              "will again measure contention, not the scaling path.",
+              file=sys.stderr)
     # worker stdout/stderr go to temp FILES, not pipes: a later worker
     # filling its ~64 KB pipe buffer while process 0 blocks in a collective
     # would deadlock a sequential communicate() drain

@@ -161,4 +161,9 @@ def pixel_order(w: int, h: int, kind: str = "morton"):
 
         ident = np.arange(w * h)
         return ident, ident.copy()
+    if kind != "morton":
+        # a typo'd env knob must not silently measure Morton while the
+        # user believes they measured something else
+        raise ValueError(f"unknown pixel order {kind!r} "
+                         "(expected 'morton', 'hilbert', or 'row')")
     return morton_pixel_order(w, h)

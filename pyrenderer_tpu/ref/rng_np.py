@@ -12,16 +12,20 @@ import numpy as np
 _ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
 _PARITY = np.uint32(0x1BD11BDA)
 
-# Mirrors rng.N_ROUNDS (same env knob) so oracle parity holds at any
-# setting — see the round-count note in pyrenderer_tpu/rng.py.
+# The round-count env knob is read at CALL time (matching rng.py's
+# call-time read), so parity holds no matter when either module was
+# imported. Canonical Random123 subkey schedule: inject only after
+# complete 4-round groups — see the round-count note in rng.py.
 import os as _os  # noqa: E402
 
-N_ROUNDS = int(_os.environ.get("PYRENDERER_TF_ROUNDS", "20"))
+
+def _default_rounds():
+    return int(_os.environ.get("PYRENDERER_TF_ROUNDS", "20"))
 
 
 def threefry2x32(k0, k1, c0, c1, rounds=None):
-    """Threefry-2x32, N_ROUNDS rounds, NumPy uint32 semantics."""
-    rounds = N_ROUNDS if rounds is None else rounds
+    """Threefry-2x32, NumPy uint32 semantics."""
+    rounds = _default_rounds() if rounds is None else rounds
     with np.errstate(over="ignore"):
         k0 = np.uint32(k0)
         k1 = np.uint32(k1)
@@ -30,14 +34,14 @@ def threefry2x32(k0, k1, c0, c1, rounds=None):
         ks = (k0, k1, k0 ^ k1 ^ _PARITY)
         x0 = x0 + ks[0]
         x1 = x1 + ks[1]
-        done = 0
-        for i in range((rounds + 3) // 4):
-            for r in _ROTATIONS[i % 2][: min(4, rounds - done)]:
-                x0 = (x0 + x1).astype(np.uint32)
-                x1 = (((x1 << np.uint32(r)) | (x1 >> np.uint32(32 - r))) ^ x0).astype(np.uint32)
-            done += 4
-            x0 = (x0 + ks[(i + 1) % 3]).astype(np.uint32)
-            x1 = (x1 + ks[(i + 2) % 3] + np.uint32(i + 1)).astype(np.uint32)
+        for r_idx in range(rounds):
+            i = r_idx // 4
+            r = _ROTATIONS[i % 2][r_idx % 4]
+            x0 = (x0 + x1).astype(np.uint32)
+            x1 = (((x1 << np.uint32(r)) | (x1 >> np.uint32(32 - r))) ^ x0).astype(np.uint32)
+            if (r_idx + 1) % 4 == 0:
+                x0 = (x0 + ks[(i + 1) % 3]).astype(np.uint32)
+                x1 = (x1 + ks[(i + 2) % 3] + np.uint32(i + 1)).astype(np.uint32)
     return x0, x1
 
 

@@ -47,16 +47,22 @@ _U32 = (1 << 32) - 1
 # Round count. 20 is Threefry's conservative default; 13 is the smallest
 # count that passes the full BigCrush battery in the Random123 paper
 # (Salmon et al., SC'11, Table 2 — crush-resistance headroom starts at 13
-# for Threefry-2x32). Env knob for A/B measurement; the NumPy oracle
-# (ref/rng_np.py) reads the same env so parity holds at any setting.
+# for Threefry-2x32). The env knob is read at CALL time in both this
+# module and the NumPy oracle (ref/rng_np.py), so parity holds no matter
+# when either module was imported. Subkeys inject only after COMPLETE
+# 4-round groups (the canonical Random123 schedule — no injection after
+# a truncated final group), so rounds=13 matches the published variant
+# the citation refers to; rounds=20 is unchanged either way.
 import os as _os
 
-N_ROUNDS = int(_os.environ.get("PYRENDERER_TF_ROUNDS", "20"))
+
+def _default_rounds() -> int:
+    return int(_os.environ.get("PYRENDERER_TF_ROUNDS", "20"))
 
 
 def threefry2x32(k0, k1, c0, c1, rounds: int | None = None):
-    """Threefry-2x32 with N_ROUNDS rounds. All inputs/outputs uint32 arrays."""
-    rounds = N_ROUNDS if rounds is None else rounds
+    """Threefry-2x32. All inputs/outputs uint32 arrays."""
+    rounds = _default_rounds() if rounds is None else rounds
     k0 = jnp.asarray(k0, jnp.uint32)
     k1 = jnp.asarray(k1, jnp.uint32)
     x0 = jnp.asarray(c0, jnp.uint32)
@@ -64,14 +70,14 @@ def threefry2x32(k0, k1, c0, c1, rounds: int | None = None):
     ks = (k0, k1, k0 ^ k1 ^ jnp.uint32(_PARITY))
     x0 = x0 + ks[0]
     x1 = x1 + ks[1]
-    done = 0
-    for i in range((rounds + 3) // 4):
-        for r in _ROTATIONS[i % 2][: min(4, rounds - done)]:
-            x0 = x0 + x1
-            x1 = ((x1 << r) | (x1 >> (32 - r))) ^ x0
-        done += 4
-        x0 = x0 + ks[(i + 1) % 3]
-        x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    for r_idx in range(rounds):
+        i = r_idx // 4
+        r = _ROTATIONS[i % 2][r_idx % 4]
+        x0 = x0 + x1
+        x1 = ((x1 << r) | (x1 >> (32 - r))) ^ x0
+        if (r_idx + 1) % 4 == 0:
+            x0 = x0 + ks[(i + 1) % 3]
+            x1 = x1 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
     return x0, x1
 
 

@@ -86,3 +86,9 @@ def test_threefry_reduced_rounds_parity():
     x13 = rng_np.threefry2x32(1, 2, 3, 4, rounds=13)
     x20 = rng_np.threefry2x32(1, 2, 3, 4, rounds=20)
     assert (int(x13[0]), int(x13[1])) != (int(x20[0]), int(x20[1]))
+    # known-answer pin of the CANONICAL Random123 subkey schedule at 13
+    # rounds (inject only after complete 4-round groups): a review found
+    # the first implementation injected after the truncated final group,
+    # which would have made the BigCrush citation apply to a different
+    # function than the one shipped
+    assert (int(x13[0]), int(x13[1])) == (1478547041, 2923887773)
