@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="intersection backend (auto selects by platform and triangle count)",
     )
     p.add_argument(
+        "--chunk", type=int, default=1 << 16,
+        help="rays per dispatch chunk (default 2^16 = a 256x256 Morton "
+        "screen block, chip-swept optimum — perf/RESULTS.md round 5)",
+    )
+    p.add_argument(
         "--preview-interval", type=int,
         help="dump a tonemapped preview PNG every N passes (reference dumped "
         "out.png every 100 — main_taichi.py:119-125)",
@@ -176,7 +181,8 @@ def main(argv=None) -> int:
                 view.update(ldr, f"{r.film.spp}/{r.cfg.spp} spp")
 
     renderer = ProgressiveRenderer(scene, camera, cfg, backend=args.backend,
-                                   film=film, on_pass=on_pass)
+                                   film=film, chunk=args.chunk,
+                                   on_pass=on_pass)
     # --live owns the terminal: the view's in-place redraw rewinds exactly
     # its own lines, so interleaved progress prints (samples/s, adaptive
     # reports) would corrupt it — silence them and let the status line
